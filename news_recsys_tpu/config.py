@@ -1,0 +1,298 @@
+"""Config system: single-YAML contract shared by data pipeline and models.
+
+Mirrors the reference's OmegaConf schema (``train_cf_deep.yaml:1-63``,
+``documents/config_file_introduction.md``) — the *same* file drives feature
+extraction, the data reader, and the model — but is validated into frozen
+dataclasses and extended with a ``mesh`` section for TPU sharding.
+
+The key structural addition over the reference is :class:`FeatureSchema`:
+the reference relies on an *implicit* convention that features are
+concatenated in sorted-name order and that FM / Wide&Deep slice column 0 of
+each field out of the concatenated matrix (``base_model.py:286``,
+``fm/model.py:48-59``, ``widedeep/model.py:53-69``). Here that contract is a
+first-class object with precomputed dims/offsets, shared by every model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+
+# ---------------------------------------------------------------------------
+# Dataclasses mirroring the YAML sections
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PathsConfig:
+    data_path: str = ""
+    out_basedir: str = ""
+    user_history_path: str = ""
+
+
+@dataclass(frozen=True)
+class FeaturesConfig:
+    sparse_feature_names: Tuple[str, ...] = ()
+    dense_feature_names: Tuple[str, ...] = ()
+    array_feature_names: Tuple[str, ...] = ()
+    item_feature_names: Tuple[str, ...] = ()
+    user_feature_names: Tuple[str, ...] = ()
+    array_max_length: Dict[str, int] = field(default_factory=dict)
+    # feature-generator only: ordered list of features to extract
+    feature_names: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class EmbeddingsConfig:
+    embedding_size: Dict[str, int] = field(default_factory=dict)
+    embedding_table_size: Dict[str, int] = field(default_factory=dict)
+    share_emb_table_features: Dict[str, str] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    batch_size: int = 512
+    num_workers: int = 0          # accepted for reference-config compat; host
+    pin_memory: bool = False      # pipeline is array-based, no worker procs
+    eval_batch_size: int = 0      # 0 -> use batch_size
+    shuffle_seed: int = 42
+
+
+@dataclass(frozen=True)
+class TrainHParams:
+    val_freq: int = 1
+    max_epoch: int = 30
+    lr: float = 1e-3
+    min_lr: float = 5e-6
+    lr_milestones: Tuple[int, int] = (40000, 200000)
+    max_step: int = 300000
+    weight_decay: float = 0.01    # torch AdamW default used by the reference
+    b1: float = 0.9
+    b2: float = 0.999
+    seed: int = 42
+    device: str = "tpu"           # reference compat ("gpu" accepted, ignored)
+    gpus: Tuple[int, ...] = ()    # reference compat, ignored
+    log_every_n_steps: int = 50
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """TPU device-mesh layout. New vs the reference (which is 1-GPU only)."""
+
+    data: int = -1        # -1: all devices on the data axis
+    model: int = 1        # row-sharding factor for embedding tables
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"   # towers can run bf16; fp32 default
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "model"
+    paths: PathsConfig = field(default_factory=PathsConfig)
+    features: FeaturesConfig = field(default_factory=FeaturesConfig)
+    embeddings: EmbeddingsConfig = field(default_factory=EmbeddingsConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    train_hparams: TrainHParams = field(default_factory=TrainHParams)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Free-form model-specific blocks (e.g. wide_and_deep_cfg, dssm_cfg),
+    # mirroring the reference's optional per-model YAML sections.
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    def extra(self, key: str, default: Any = None) -> Any:
+        return self.extras.get(key, default)
+
+
+_SECTION_TYPES = {
+    "paths": PathsConfig,
+    "features": FeaturesConfig,
+    "embeddings": EmbeddingsConfig,
+    "dataset": DatasetConfig,
+    "train_hparams": TrainHParams,
+    "mesh": MeshConfig,
+}
+
+
+def _coerce(cls, raw: Dict[str, Any]):
+    """Build dataclass from a raw dict, tuple-ifying lists, keeping extras out."""
+    if raw is None:
+        raw = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in raw.items():
+        if key not in fields:
+            continue  # tolerate unknown keys like the reference's OmegaConf
+        if isinstance(value, list):
+            value = tuple(value)
+        if value is None:
+            continue
+        kwargs[key] = value
+    return cls(**kwargs)
+
+
+def load_config(path: str) -> Config:
+    """Load a YAML config file into a validated :class:`Config`."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Config file not found: {path}")
+    with open(path, "r", encoding="utf-8") as f:
+        raw = yaml.safe_load(f) or {}
+    return config_from_dict(raw)
+
+
+def config_from_dict(raw: Dict[str, Any]) -> Config:
+    sections = {}
+    extras: Dict[str, Any] = {}
+    for key, value in raw.items():
+        if key == "name":
+            continue
+        if key in _SECTION_TYPES:
+            sections[key] = _coerce(_SECTION_TYPES[key], value)
+        else:
+            extras[key] = value
+    cfg = Config(name=str(raw.get("name", "model")), extras=extras, **sections)
+    _validate(cfg)
+    return cfg
+
+
+def _validate(cfg: Config) -> None:
+    f = cfg.features
+    for fea in f.array_feature_names:
+        if fea not in f.array_max_length:
+            raise ValueError(
+                f"Array feature '{fea}' declared but max_length not defined in config."
+            )
+    emb = cfg.embeddings
+    for fname in tuple(f.sparse_feature_names) + tuple(f.array_feature_names):
+        table = emb.share_emb_table_features.get(fname, fname)
+        if table not in emb.embedding_size:
+            raise ValueError(f"Embedding size for table '{table}' (feature '{fname}') missing.")
+        if table not in emb.embedding_table_size:
+            raise ValueError(f"Embedding table size for table '{table}' (feature '{fname}') missing.")
+    ms = cfg.train_hparams.lr_milestones
+    if len(ms) != 2:
+        raise ValueError("lr_milestones must have exactly 2 entries (hold end, decay end).")
+
+
+# ---------------------------------------------------------------------------
+# FeatureSchema — the explicit concat/slicing contract
+# ---------------------------------------------------------------------------
+
+SPARSE = "sparse"
+DENSE = "dense"
+ARRAY = "array"
+
+DENSE_FEATURE_DIM = 1  # reference: dense features contribute 1 dim each
+
+
+@dataclass(frozen=True)
+class FeatureSpec:
+    name: str
+    kind: str                 # SPARSE | DENSE | ARRAY
+    table: str                # embedding table name (after share aliasing); "" for dense
+    dim: int                  # output dim after lookup/pool (1 for dense)
+    vocab: int                # table rows (0 for dense)
+    max_length: int = 0       # array features only
+    offset: int = 0           # start column in the concatenated feature matrix
+
+
+@dataclass(frozen=True)
+class FeatureSchema:
+    """Sorted-name feature layout for a set of features.
+
+    ``specs`` are ordered by feature name — the same order the reference's
+    ``get_embeddings_from_batch`` concatenates (``base_model.py:286``) — and
+    each spec carries its column ``offset`` into the concatenated matrix, so
+    FM's "column 0 = first-order weight" and Wide&Deep's "column 0 = wide
+    part" contracts are explicit (``fm/model.py:48-59``,
+    ``widedeep/model.py:53-69``).
+    """
+
+    specs: Tuple[FeatureSpec, ...]
+
+    @property
+    def names(self) -> Tuple[str, ...]:
+        return tuple(s.name for s in self.specs)
+
+    @property
+    def total_dim(self) -> int:
+        return sum(s.dim for s in self.specs)
+
+    @property
+    def dims(self) -> Tuple[int, ...]:
+        return tuple(s.dim for s in self.specs)
+
+    def __getitem__(self, name: str) -> FeatureSpec:
+        for s in self.specs:
+            if s.name == name:
+                return s
+        raise KeyError(name)
+
+    def __contains__(self, name: str) -> bool:
+        return any(s.name == name for s in self.specs)
+
+    def subset(self, names) -> "FeatureSchema":
+        """Schema over a feature subset (offsets recomputed)."""
+        wanted = set(names)
+        specs = [s for s in self.specs if s.name in wanted]
+        return _with_offsets(specs)
+
+
+def _with_offsets(specs: List[FeatureSpec]) -> FeatureSchema:
+    out = []
+    offset = 0
+    for s in sorted(specs, key=lambda s: s.name):
+        out.append(dataclasses.replace(s, offset=offset))
+        offset += s.dim
+    return FeatureSchema(specs=tuple(out))
+
+
+def build_schema(cfg: Config, names=None) -> FeatureSchema:
+    """Build the :class:`FeatureSchema` for ``names`` (default: user|item set).
+
+    The default feature set matches the reference ranking models, which use
+    ``user_feature_names | item_feature_names`` (``deep/model.py:42``).
+    """
+    f = cfg.features
+    if names is None:
+        names = sorted(set(f.user_feature_names) | set(f.item_feature_names))
+    emb = cfg.embeddings
+    sparse, dense, array = set(f.sparse_feature_names), set(f.dense_feature_names), set(f.array_feature_names)
+    specs: List[FeatureSpec] = []
+    for name in names:
+        if name in dense:
+            specs.append(FeatureSpec(name=name, kind=DENSE, table="", dim=DENSE_FEATURE_DIM, vocab=0))
+        elif name in sparse or name in array:
+            table = emb.share_emb_table_features.get(name, name)
+            specs.append(
+                FeatureSpec(
+                    name=name,
+                    kind=ARRAY if name in array else SPARSE,
+                    table=table,
+                    dim=int(emb.embedding_size[table]),
+                    vocab=int(emb.embedding_table_size[table]),
+                    max_length=int(f.array_max_length.get(name, 0)),
+                )
+            )
+        else:
+            raise ValueError(f"Feature '{name}' is not declared sparse/dense/array in config.")
+    return _with_offsets(specs)
+
+
+def table_specs(cfg: Config) -> Dict[str, Tuple[int, int]]:
+    """Unique embedding tables -> (vocab, dim), after share-aliasing.
+
+    Mirrors ``BaseModel._build_embedding_tables`` (``base_model.py:141-166``):
+    tables exist for sparse ∪ array features, shared tables created once.
+    """
+    f, emb = cfg.features, cfg.embeddings
+    tables: Dict[str, Tuple[int, int]] = {}
+    for name in sorted(set(f.sparse_feature_names) | set(f.array_feature_names)):
+        table = emb.share_emb_table_features.get(name, name)
+        if table in tables:
+            continue
+        tables[table] = (int(emb.embedding_table_size[table]), int(emb.embedding_size[table]))
+    return tables

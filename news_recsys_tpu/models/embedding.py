@@ -1,0 +1,112 @@
+"""Embedding engine: shared, shardable tables + the sorted-name concat contract.
+
+TPU-first re-design of the reference's embedding machinery
+(``base_model.py:141-166`` table construction, ``:262-282`` lookup/pooling,
+``:284-308`` sorted-name gather+concat):
+
+- one parameter per *unique* table (share-aliased features reuse a table);
+- vocab row-counts are padded up to a multiple of 128 so tables tile onto
+  (8,128)/(16,128) TPU layouts and divide evenly under row-sharding
+  (``PartitionSpec('model', None)``) for any power-of-two mesh axis;
+- row 0 is the padding row: lookups multiply by ``(ids != 0)`` which makes
+  both the value and the gradient of row 0 exactly zero — the functional
+  equivalent of torch ``nn.Embedding(padding_idx=0)``;
+- array features are masked-mean pooled with the reference's ``+1e-8``
+  denominator (``base_model.py:273-282``);
+- the concat order is taken from :class:`~news_recsys_tpu.config.FeatureSchema`
+  (sorted feature names) so FM / Wide&Deep column-slicing semantics are a
+  schema-level invariant, not an implicit convention.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ARRAY, DENSE, SPARSE, Config, FeatureSchema, build_schema, table_specs
+
+VOCAB_PAD_MULTIPLE = 128
+
+
+def padded_vocab(vocab: int) -> int:
+    return ((vocab + VOCAB_PAD_MULTIPLE - 1) // VOCAB_PAD_MULTIPLE) * VOCAB_PAD_MULTIPLE
+
+
+def embedding_init(key, shape, dtype=jnp.float32):
+    """torch nn.Embedding default: N(0, 1); padding row zeroed."""
+    table = jax.random.normal(key, shape, dtype)
+    return table.at[0].set(0.0)
+
+
+class EmbeddingCollection(nn.Module):
+    """Owns every embedding table; provides lookup / pool / concat.
+
+    ``tables``: mapping table-name -> (vocab, dim), typically from
+    :func:`news_recsys_tpu.config.table_specs`.
+    """
+
+    tables: Tuple[Tuple[str, Tuple[int, int]], ...]  # hashable static spec
+
+    def setup(self):
+        params = {}
+        for name, (vocab, dim) in self.tables:
+            params[name] = self.param(name, embedding_init, (padded_vocab(vocab), dim))
+        self._tables = params
+
+    @staticmethod
+    def from_config(cfg: Config) -> "EmbeddingCollection":
+        return EmbeddingCollection(tables=tuple(sorted(table_specs(cfg).items())))
+
+    # -- single-feature ops -------------------------------------------------
+
+    def lookup(self, table_name: str, ids: jnp.ndarray) -> jnp.ndarray:
+        """Gather rows; id 0 (padding) yields exact zeros (value and grad)."""
+        table = self._tables[table_name]
+        emb = jnp.take(table, ids, axis=0)
+        return emb * (ids != 0).astype(emb.dtype)[..., None]
+
+    @staticmethod
+    def pool(emb: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """Masked mean over axis 1: (B, L, D), (B, L) -> (B, D)."""
+        mask = mask.astype(emb.dtype)[..., None]
+        return (emb * mask).sum(axis=1) / (mask.sum(axis=1) + 1e-8)
+
+    # -- batch-level contract ----------------------------------------------
+
+    def embed_fields(self, batch: Dict[str, jnp.ndarray], schema: FeatureSchema):
+        """Per-field embeddings in schema (sorted-name) order: list of (B, d_f).
+
+        Dense features contribute their raw value as one column
+        (``base_model.py:262-265``).
+        """
+        parts = []
+        for spec in schema.specs:
+            val = batch[spec.name]
+            if spec.kind == DENSE:
+                parts.append(val.astype(jnp.float32)[:, None])
+            elif spec.kind == SPARSE:
+                parts.append(self.lookup(spec.table, val))
+            elif spec.kind == ARRAY:
+                emb = self.lookup(spec.table, val)               # (B, L, D)
+                mask = batch.get(f"{spec.name}_mask")
+                if mask is None:
+                    mask = (val != 0)
+                parts.append(self.pool(emb, mask))
+            else:
+                raise ValueError(spec.kind)
+        return parts
+
+    def embed_batch(self, batch: Dict[str, jnp.ndarray], schema: FeatureSchema) -> jnp.ndarray:
+        """Concat per-feature embeddings in schema (sorted-name) order.
+
+        Returns (B, schema.total_dim) — the reference's
+        ``get_embeddings_from_batch`` contract (``base_model.py:284-308``).
+        """
+        return jnp.concatenate(self.embed_fields(batch, schema), axis=1)
+
+
+def make_collection(cfg: Config) -> EmbeddingCollection:
+    return EmbeddingCollection.from_config(cfg)

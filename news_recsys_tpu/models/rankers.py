@@ -1,0 +1,210 @@
+"""Ranking model zoo: LR, Deep (DNN), Wide&Deep, FM, DCN v1/v2.
+
+Functional parity with the reference's ``src/model/sort/*`` models, designed
+as pure flax modules over the shared :class:`EmbeddingCollection`. Every
+model returns **logits** ``(B,)``; sigmoid lives in the loss / inference
+wrapper (numerically better than the reference's probability-space BCE,
+mathematically identical).
+
+Slicing contracts (explicit here, implicit in the reference):
+- FM: per field, column 0 of the embedding is the first-order weight ``w``,
+  columns 1..d the latent vector ``v`` (``fm/model.py:48-59``); second order
+  via the ½[(Σv)² − Σv²] identity (``fm/model.py:18-26``).
+- Wide&Deep: for wide features, column 0 is the wide (linear) part, columns
+  1..d the deep part (``widedeep/model.py:53-69``).
+- DCN v1 cross: ``x0 · (x_l^T w) + b + x_l`` (``dcn_arch.py:5-30``), with the
+  rank-1 structure exploited: ``(x0 x_l^T) w == x0 * (x_l · w)`` — a dot and
+  a broadcast instead of a BxDxD outer product, which is the TPU-friendly
+  formulation (O(BD) memory instead of O(BD²)).
+- DCN v2: ``x0 * Linear(x_l) + x_l`` (``dcn_arch.py:33-50``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, FeatureSchema, build_schema, table_specs
+from .embedding import EmbeddingCollection
+from .layers import MLP, Linear
+
+DEFAULT_HIDDEN = (128, 128, 128, 64, 1)
+
+
+def _collection(cfg_tables) -> EmbeddingCollection:
+    return EmbeddingCollection(tables=cfg_tables)
+
+
+class RankerBase(nn.Module):
+    """Shared plumbing: embedding collection + rank-feature schema."""
+
+    tables: Tuple[Tuple[str, Tuple[int, int]], ...]
+    schema: FeatureSchema
+
+    def setup(self):
+        self.embedder = _collection(self.tables)
+        self._setup_tower()
+
+    def _setup_tower(self):
+        raise NotImplementedError
+
+    def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        raise NotImplementedError
+
+
+class LRRanker(RankerBase):
+    """Logistic regression via dim-1 embeddings: logit = Σ features.
+
+    Reference: ``lr/model.py:17-27`` (score_fc = torch.sum over the concat).
+    """
+
+    def _setup_tower(self):
+        pass
+
+    def __call__(self, batch):
+        x = self.embedder.embed_batch(batch, self.schema)
+        return jnp.sum(x, axis=1)
+
+
+class DeepRanker(RankerBase):
+    """Concat embeddings -> MLP [128,128,128,64,1] (``deep/model.py:12-29``)."""
+
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+
+    def _setup_tower(self):
+        self.tower = MLP(dims=tuple(self.hidden))
+
+    def __call__(self, batch):
+        x = self.embedder.embed_batch(batch, self.schema)
+        return self.tower(x)[:, 0]
+
+
+class WideDeepRanker(RankerBase):
+    """Wide (sum of column-0 slices + bias) + Deep MLP (``widedeep/model.py``)."""
+
+    wide_features: Tuple[str, ...] = ()
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+
+    def _setup_tower(self):
+        self.tower = MLP(dims=tuple(self.hidden))
+        self.bias = self.param("bias", nn.initializers.zeros, (1,))
+
+    def __call__(self, batch):
+        fields = self.embedder.embed_fields(batch, self.schema)
+        wide_cols, deep_cols = [], []
+        for spec, emb in zip(self.schema.specs, fields):
+            if spec.name in self.wide_features:
+                wide_cols.append(emb[:, 0:1])
+                deep_cols.append(emb[:, 1:])
+            else:
+                deep_cols.append(emb)
+        wide_out = jnp.sum(jnp.concatenate(wide_cols, axis=1), axis=1) + self.bias[0]
+        deep_out = self.tower(jnp.concatenate(deep_cols, axis=1))[:, 0]
+        return wide_out + deep_out
+
+
+class FMRanker(RankerBase):
+    """Factorization machine on column-sliced embeddings (``fm/model.py``)."""
+
+    def _setup_tower(self):
+        self.bias = self.param("bias", nn.initializers.zeros, (1,))
+
+    def __call__(self, batch):
+        fields = self.embedder.embed_fields(batch, self.schema)
+        dims = {e.shape[1] for e in fields}
+        assert len(dims) == 1, "FM requires equal embedding dims across fields"
+        w = jnp.concatenate([e[:, 0:1] for e in fields], axis=1)      # (B, nf)
+        v = jnp.stack([e[:, 1:] for e in fields], axis=1)             # (B, nf, d-1)
+        first = jnp.sum(w, axis=1)
+        sum_v = jnp.sum(v, axis=1)
+        second = 0.5 * jnp.sum(sum_v * sum_v - jnp.sum(v * v, axis=1), axis=1)
+        return self.bias[0] + first + second
+
+
+class CrossNetV1(nn.Module):
+    """Stacked DCN-v1 cross layers using the rank-1 identity (see module doc)."""
+
+    num_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x0):
+        dim = x0.shape[-1]
+        x = x0
+        for i in range(self.num_layers):
+            w = self.param(
+                f"w_{i}", nn.initializers.xavier_uniform(), (dim, 1)
+            )
+            b = self.param(f"b_{i}", nn.initializers.zeros, (dim,))
+            xw = x @ w                    # (B, 1) == x_l^T w per row
+            x = x0 * xw + b + x
+        return x
+
+
+class CrossNetV2(nn.Module):
+    """Stacked DCN-v2 cross layers with ReLU between (``dcn_arch.py:69-90``)."""
+
+    num_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x0):
+        dim = x0.shape[-1]
+        x = x0
+        for _ in range(self.num_layers):
+            x = x0 * Linear(dim)(x) + x
+            x = nn.relu(x)
+        return x
+
+
+class DCNRanker(RankerBase):
+    """Cross net + MLP over concat[x, cross(x)] (``dcn/model.py:16-29``)."""
+
+    cross_layers: int = 3
+    cross_version: int = 1
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+
+    def _setup_tower(self):
+        cls = CrossNetV1 if self.cross_version == 1 else CrossNetV2
+        self.cross = cls(num_layers=self.cross_layers)
+        self.tower = MLP(dims=tuple(self.hidden))
+
+    def __call__(self, batch):
+        x = self.embedder.embed_batch(batch, self.schema)
+        cross = self.cross(x)
+        return self.tower(jnp.concatenate([x, cross], axis=1))[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Registry / constructors
+# ---------------------------------------------------------------------------
+
+
+def build_ranker(cfg: Config, name: str | None = None) -> RankerBase:
+    """Construct a ranker by name with config-driven schema and tables."""
+    name = name or cfg.name
+    tables = tuple(sorted(table_specs(cfg).items()))
+    schema = build_schema(cfg)
+    if name == "lr":
+        return LRRanker(tables=tables, schema=schema)
+    if name == "deep":
+        return DeepRanker(tables=tables, schema=schema)
+    if name == "widedeep":
+        wd = cfg.extra("wide_and_deep_cfg", {}) or {}
+        wide = tuple(wd.get("wide_feature_names", ()))
+        return WideDeepRanker(tables=tables, schema=schema, wide_features=wide)
+    if name == "fm":
+        return FMRanker(tables=tables, schema=schema)
+    if name == "dcn":
+        dcn = cfg.extra("dcn_cfg", {}) or {}
+        return DCNRanker(
+            tables=tables,
+            schema=schema,
+            cross_layers=int(dcn.get("num_layers", 3)),
+            cross_version=int(dcn.get("version", 1)),
+        )
+    raise ValueError(f"Unknown ranker: {name!r}")
+
+
+RANKER_NAMES = ("lr", "deep", "widedeep", "fm", "dcn")

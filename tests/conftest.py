@@ -1,0 +1,16 @@
+"""Test harness: run all tests on a virtual 8-device CPU mesh.
+
+Must set XLA flags *before* jax is imported anywhere — this is the standard
+TPU-less way to exercise pjit/shard_map collectives (SURVEY.md §4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
