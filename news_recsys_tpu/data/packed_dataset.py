@@ -1,0 +1,111 @@
+"""Packed dataset + fixed-shape batch iterator (the TPU DataReader).
+
+Replaces the reference's per-row text-parsing ``torch.utils.data.Dataset``
+(``data_reader.py:7-115``) and Lightning DataModule (``pl_dataloader.py``)
+with an array-native pipeline: all features live as packed int32/float32
+host arrays; batching is pure slicing of a shuffled permutation; every batch
+has an identical static shape (required for one-time XLA compilation), with
+the final partial batch padded and masked via ``_valid`` weights.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from ..config import Config
+from ..utils.logging import get_logger
+
+logger = get_logger("packed_dataset")
+
+Batch = Dict[str, np.ndarray]
+
+
+class PackedDataset:
+    """Dict of equally-sized leading-dim arrays (features + 'label')."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray]):
+        if not arrays:
+            raise ValueError("Empty dataset")
+        sizes = {k: len(v) for k, v in arrays.items()}
+        if len(set(sizes.values())) != 1:
+            raise ValueError(f"Inconsistent array lengths: {sizes}")
+        self.arrays = arrays
+        self.n = next(iter(sizes.values()))
+
+    def __len__(self) -> int:
+        return self.n
+
+    @classmethod
+    def load(cls, path: str) -> "PackedDataset":
+        with np.load(path) as z:
+            return cls({k: z[k] for k in z.files})
+
+    @classmethod
+    def from_text(cls, path: str, cfg: Config) -> "PackedDataset":
+        from .text_format import read_text_features
+        return cls(read_text_features(path, cfg))
+
+    @classmethod
+    def open_split(cls, cfg: Config, split: str) -> "PackedDataset":
+        """Load ``<out_basedir>/extractored_feature/<split>_features.npz``
+        (falling back to the reference ``.txt`` format if present)."""
+        base = os.path.join(cfg.paths.out_basedir, "extractored_feature")
+        npz = os.path.join(base, f"{split}_features.npz")
+        if os.path.exists(npz):
+            return cls.load(npz)
+        txt = os.path.join(base, f"{split}_features.txt")
+        if os.path.exists(txt):
+            logger.info(f"Loading reference text format: {txt}")
+            return cls.from_text(txt, cfg)
+        raise FileNotFoundError(f"No feature file for split '{split}' under {base}")
+
+    def take(self, idx: np.ndarray) -> Batch:
+        return {k: v[idx] for k, v in self.arrays.items()}
+
+
+def iterate_batches(
+    ds: PackedDataset,
+    batch_size: int,
+    shuffle: bool,
+    seed: int = 0,
+    epoch: int = 0,
+    drop_last: Optional[bool] = None,
+) -> Iterator[Batch]:
+    """Fixed-shape batches. Train (shuffle=True): drop_last. Eval: pad+mask.
+
+    Every batch carries ``_valid`` float32 (B,) — 1 for real rows, 0 for
+    padding — so losses/metrics can mask exactly.
+    """
+    n = len(ds)
+    if drop_last is None:
+        drop_last = shuffle
+    if shuffle:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        order = rng.permutation(n)
+    else:
+        order = np.arange(n)
+
+    if drop_last:
+        n_batches = n // batch_size
+        for b in range(n_batches):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            batch = ds.take(idx)
+            batch["_valid"] = np.ones(batch_size, dtype=np.float32)
+            yield batch
+    else:
+        n_batches = (n + batch_size - 1) // batch_size
+        for b in range(n_batches):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            valid = len(idx)
+            if valid < batch_size:
+                idx = np.concatenate([idx, np.full(batch_size - valid, idx[-1] if valid else 0)])
+            batch = ds.take(idx)
+            batch["_valid"] = (np.arange(batch_size) < valid).astype(np.float32)
+            yield batch
+
+
+def num_batches(n: int, batch_size: int, drop_last: bool) -> int:
+    return n // batch_size if drop_last else (n + batch_size - 1) // batch_size

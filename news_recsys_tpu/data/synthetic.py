@@ -1,0 +1,91 @@
+"""Synthetic MIND-format data generator for tests and benchmarks.
+
+The real MIND-small dataset must be downloaded by the user (reference
+``README.md:25-37``); this module fabricates raw ``news.tsv`` /
+``behaviors.tsv`` files with the same schema and statistics shape so the full
+pipeline (preprocess -> feature extraction -> training -> validation) can be
+exercised end-to-end without the download.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+CATEGORIES = [
+    "news", "sports", "finance", "travel", "lifestyle", "video", "foodanddrink",
+    "weather", "autos", "health", "entertainment", "tv", "music", "movies",
+    "kids", "middleeast", "northamerica",
+]
+SUBCATS_PER_CAT = 8
+
+
+def generate_mind(
+    root: str,
+    n_news: int = 300,
+    n_users: int = 120,
+    n_impressions_train: int = 400,
+    n_impressions_dev: int = 150,
+    max_history: int = 20,
+    max_candidates: int = 8,
+    seed: int = 0,
+) -> str:
+    """Write MINDsmall_{train,dev}/{news.tsv,behaviors.tsv} under ``root``."""
+    rng = np.random.default_rng(seed)
+    news_ids = [f"N{i + 1}" for i in range(n_news)]
+    cats = rng.integers(0, len(CATEGORIES), n_news)
+    subcats = cats * SUBCATS_PER_CAT + rng.integers(0, SUBCATS_PER_CAT, n_news)
+
+    def write_news(sub: str, lo: int, hi: int):
+        d = Path(root) / sub
+        d.mkdir(parents=True, exist_ok=True)
+        with open(d / "news.tsv", "w", encoding="utf-8") as f:
+            for i in range(lo, hi):
+                f.write(
+                    f"{news_ids[i]}\t{CATEGORIES[cats[i]]}\tsubcat{subcats[i]}\t"
+                    f"Title of item {i}\tAbstract text {i}\thttps://example.com/{i}\t[]\t[]\n"
+                )
+
+    # train sees the first 90%, dev all (so dev has some train-unseen news)
+    write_news("MINDsmall_train", 0, int(n_news * 0.9))
+    write_news("MINDsmall_dev", 0, n_news)
+
+    user_ids = [f"U{i + 1}" for i in range(n_users)]
+    # popularity-skewed item distribution + per-user category affinity
+    popularity = rng.dirichlet(np.ones(n_news) * 0.3)
+    user_fav_cat = rng.integers(0, len(CATEGORIES), n_users)
+
+    def click_prob(u: int, n: int) -> float:
+        return 0.35 if cats[n] == user_fav_cat[u] else 0.06
+
+    def write_behaviors(sub: str, n_impr: int, users_lo: int, users_hi: int, base_min: int):
+        d = Path(root) / sub
+        d.mkdir(parents=True, exist_ok=True)
+        avail = int(n_news * 0.9) if "train" in sub else n_news
+        with open(d / "behaviors.tsv", "w", encoding="utf-8") as f:
+            for imp in range(n_impr):
+                u = int(rng.integers(users_lo, users_hi))
+                hist_len = int(rng.integers(0, max_history))
+                hist = rng.choice(avail, size=hist_len, replace=False, p=None)
+                hist_str = " ".join(news_ids[h] for h in hist)
+                n_cand = int(rng.integers(2, max_candidates + 1))
+                cands = rng.choice(avail, size=n_cand, replace=False,
+                                   p=popularity[:avail] / popularity[:avail].sum())
+                labels = [1 if rng.random() < click_prob(u, c) else 0 for c in cands]
+                if sum(labels) == 0 and rng.random() < 0.5:
+                    labels[int(rng.integers(0, n_cand))] = 1  # ensure some positives
+                impr_str = " ".join(f"{news_ids[c]}-{l}" for c, l in zip(cands, labels))
+                minute = base_min + imp
+                hour24 = (minute // 60) % 24
+                ampm = "AM" if hour24 < 12 else "PM"
+                hour12 = hour24 % 12 or 12
+                t = (f"11/{11 + minute // 1440}/2019 "
+                     f"{hour12:02d}:{minute % 60:02d}:{int(rng.integers(0, 60)):02d} {ampm}")
+                f.write(f"{imp + 1}\t{user_ids[u]}\t{t}\t{hist_str}\t{impr_str}\n")
+
+    # train: first 80% of users; dev: all users (tail 20% are cold-start)
+    write_behaviors("MINDsmall_train", n_impressions_train, 0, int(n_users * 0.8), 0)
+    write_behaviors("MINDsmall_dev", n_impressions_dev, 0, n_users, 10000)
+    return root

@@ -1,0 +1,154 @@
+"""End-to-end data pipeline tests on synthetic MIND-format data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from news_recsys_tpu.config import config_from_dict
+from news_recsys_tpu.data.feature_extraction import FeatureExtractionPipeline, VocabManager
+from news_recsys_tpu.data.packed_dataset import PackedDataset, iterate_batches
+from news_recsys_tpu.data.preprocess import run_preprocess
+from news_recsys_tpu.data.synthetic import generate_mind
+from news_recsys_tpu.data.text_format import read_text_features
+
+
+def make_cfg(tmp):
+    return config_from_dict({
+        "name": "deep",
+        "paths": {"data_path": str(tmp / "raw"), "out_basedir": str(tmp / "out")},
+        "features": {
+            "feature_names": ["user_id", "item_id", "category", "subcategory", "user_click_category"],
+            "sparse_feature_names": ["user_id", "item_id", "category", "subcategory", "user_click_category"],
+            "item_feature_names": ["item_id", "category", "subcategory"],
+            "user_feature_names": ["user_id", "user_click_category"],
+        },
+        "embeddings": {
+            "embedding_size": {k: 8 for k in ["user_id", "item_id", "category", "subcategory", "user_click_category"]},
+            "embedding_table_size": {"user_id": 200, "item_id": 400, "category": 20, "subcategory": 200, "user_click_category": 20},
+        },
+        "dataset": {"batch_size": 32},
+    })
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mind")
+    generate_mind(str(tmp / "raw"), n_news=120, n_users=60,
+                  n_impressions_train=150, n_impressions_dev=60, seed=3)
+    cfg = make_cfg(tmp)
+    run_preprocess(cfg.paths.data_path, cfg.paths.out_basedir)
+    FeatureExtractionPipeline(cfg, write_text=True).run()
+    return tmp, cfg
+
+
+def test_preprocess_outputs(pipeline_out):
+    tmp, cfg = pipeline_out
+    pre = tmp / "out" / "preprocess"
+    for f in ["news_id_map.json", "user_id_map.json", "train_user_ids.json",
+              "all_news_preprocess.csv", "train_behaviors_processed.csv", "dev_behaviors_processed.csv"]:
+        assert (pre / f).exists(), f
+
+    news_map = json.load(open(pre / "news_id_map.json"))
+    # ids contiguous from 1
+    ids = sorted(news_map.values())
+    assert ids[0] == 1 and ids[-1] == len(ids)
+
+    train_users = json.load(open(pre / "train_user_ids.json"))
+    assert len(train_users) > 0
+    user_map = json.load(open(pre / "user_id_map.json"))
+    assert set(train_users) <= set(user_map.values())
+
+    # exploded behaviors: one row per impression item, 6 columns
+    import pandas as pd
+    beh = pd.read_csv(pre / "train_behaviors_processed.csv", sep="\t", header=None)
+    assert beh.shape[1] == 6
+    assert (beh[5].isin([0, 1])).all()          # label column
+    assert beh[2].is_monotonic_increasing       # time-sorted
+
+
+def test_extraction_outputs(pipeline_out):
+    tmp, cfg = pipeline_out
+    fe = tmp / "out" / "extractored_feature"
+    for f in ["train_features.npz", "dev_features.npz", "item_features.npz",
+              "original_val_2_embedding_idx_dict.json",
+              "embedding_idx_2_original_val_dict.json", "dataset_extract_info.yaml",
+              "train_features.txt"]:
+        assert (fe / f).exists(), f
+
+    ds = PackedDataset.load(str(fe / "train_features.npz"))
+    assert set(ds.arrays) >= {"user_id", "item_id", "category", "subcategory", "user_click_category", "label"}
+    assert ds.arrays["label"].shape == (len(ds), 1)
+    # vocab ids start at 1, 0 reserved
+    assert ds.arrays["category"].min() >= 1
+
+
+def test_text_format_roundtrip(pipeline_out):
+    tmp, cfg = pipeline_out
+    fe = tmp / "out" / "extractored_feature"
+    packed = PackedDataset.load(str(fe / "train_features.npz"))
+    from_text = read_text_features(str(fe / "train_features.txt"), cfg)
+    for k in ["user_id", "item_id", "category", "subcategory", "user_click_category"]:
+        np.testing.assert_array_equal(packed.arrays[k], from_text[k])
+    np.testing.assert_allclose(packed.arrays["label"], from_text["label"])
+
+
+def test_vocab_roundtrip(pipeline_out):
+    tmp, cfg = pipeline_out
+    fe = tmp / "out" / "extractored_feature"
+    vm = VocabManager.load(str(fe))
+    assert vm.size("category") >= 1
+    # bidirectional consistency
+    for fea, vmap in vm.val2idx.items():
+        for val, idx in list(vmap.items())[:5]:
+            assert vm.idx2val[fea][idx] == val
+
+
+def test_user_click_category_matches_streaming(pipeline_out):
+    """Vectorized extractor vs a literal per-row transliteration of
+    feature_extractor.py:35-55 (argmax count, insertion-order tie-break)."""
+    tmp, cfg = pipeline_out
+    from news_recsys_tpu.data.feature_extraction import (
+        ExtractionContext, EXTRACTORS)
+
+    pipe = FeatureExtractionPipeline(cfg)
+    items = pipe._load_items()
+    beh = pipe._load_behaviors("train")
+
+    # streaming reference implementation
+    vocab_ref = VocabManager(pipe.feature_names, {})
+    out_ref = []
+    item_cat = items["category"].to_dict()
+    for _, row in beh.iterrows():
+        counts = {}
+        for nid in row["history"]:
+            cat = item_cat.get(nid, "unknown")
+            idx = vocab_ref.get_idx("user_click_category", cat)
+            counts[idx] = counts.get(idx, 0) + 1
+        if counts:
+            out_ref.append(max(counts, key=counts.get))
+        else:
+            out_ref.append(vocab_ref.get_idx("user_click_category", "unknown"))
+
+    vocab_vec = VocabManager(pipe.feature_names, {})
+    ctx = ExtractionContext(beh, items, vocab_vec)
+    out_vec = EXTRACTORS["user_click_category"](ctx)
+
+    np.testing.assert_array_equal(np.asarray(out_ref), out_vec)
+    assert vocab_ref.val2idx["user_click_category"] == vocab_vec.val2idx["user_click_category"]
+
+
+def test_batch_iterator():
+    ds = PackedDataset({"x": np.arange(100, dtype=np.int32), "label": np.ones((100, 1), np.float32)})
+    train_batches = list(iterate_batches(ds, 32, shuffle=True, seed=1))
+    assert len(train_batches) == 3  # drop_last
+    assert all(b["x"].shape == (32,) for b in train_batches)
+    eval_batches = list(iterate_batches(ds, 32, shuffle=False))
+    assert len(eval_batches) == 4
+    assert eval_batches[-1]["_valid"].sum() == 4  # 100 - 96
+    # shuffle determinism per (seed, epoch)
+    again = list(iterate_batches(ds, 32, shuffle=True, seed=1))
+    np.testing.assert_array_equal(train_batches[0]["x"], again[0]["x"])
+    ep2 = list(iterate_batches(ds, 32, shuffle=True, seed=1, epoch=1))
+    assert not np.array_equal(train_batches[0]["x"], ep2[0]["x"])
