@@ -58,23 +58,30 @@ def generate_mind(
     user_fav_cat = rng.integers(0, len(CATEGORIES), n_users)
 
     def click_prob(u: int, n: int) -> float:
-        return 0.35 if cats[n] == user_fav_cat[u] else 0.06
+        return 0.55 if cats[n] == user_fav_cat[u] else 0.02
 
     def write_behaviors(sub: str, n_impr: int, users_lo: int, users_hi: int, base_min: int):
         d = Path(root) / sub
         d.mkdir(parents=True, exist_ok=True)
         avail = int(n_news * 0.9) if "train" in sub else n_news
+        # click history reflects user affinity: mostly favorite-category items
+        cat_items = {c: np.flatnonzero(cats[:avail] == c) for c in range(len(CATEGORIES))}
         with open(d / "behaviors.tsv", "w", encoding="utf-8") as f:
             for imp in range(n_impr):
                 u = int(rng.integers(users_lo, users_hi))
                 hist_len = int(rng.integers(0, max_history))
-                hist = rng.choice(avail, size=hist_len, replace=False, p=None)
+                fav_pool = cat_items[user_fav_cat[u]]
+                hist = [
+                    int(rng.choice(fav_pool)) if (len(fav_pool) and rng.random() < 0.7)
+                    else int(rng.integers(0, avail))
+                    for _ in range(hist_len)
+                ]
                 hist_str = " ".join(news_ids[h] for h in hist)
                 n_cand = int(rng.integers(2, max_candidates + 1))
                 cands = rng.choice(avail, size=n_cand, replace=False,
                                    p=popularity[:avail] / popularity[:avail].sum())
                 labels = [1 if rng.random() < click_prob(u, c) else 0 for c in cands]
-                if sum(labels) == 0 and rng.random() < 0.5:
+                if sum(labels) == 0 and rng.random() < 0.2:
                     labels[int(rng.integers(0, n_cand))] = 1  # ensure some positives
                 impr_str = " ".join(f"{news_ids[c]}-{l}" for c, l in zip(cands, labels))
                 minute = base_min + imp

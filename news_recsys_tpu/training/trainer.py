@@ -1,0 +1,336 @@
+"""Training runtime: jitted train/eval steps, epoch loop, validation engine.
+
+Replaces the reference's PyTorch-Lightning orchestration (per-model
+``train.py`` + ``L.Trainer``; ``deep/train.py:38-46``) with a hand-rolled
+JAX loop:
+
+- one ``pjit``-compiled train step (donated state) shared by every model:
+  sigmoid-BCE on logits + AdamW with the reference's hold->cosine->floor
+  schedule stepped per optimizer step (``deep/model.py:57-65``,
+  ``lr_schedule.py:16-28``); params/optimizer sharded by
+  :func:`news_recsys_tpu.parallel.mesh.param_shardings`, batches sharded
+  over the ``data`` axis;
+- on-device binned train-AUC accumulator instead of the reference's
+  per-step sklearn ``roc_auc_score`` on host (``deep/model.py:49``) — that
+  pattern forces a device->host sync every step; the final validation AUC
+  remains exact;
+- per-epoch validation via the vectorized metric engine
+  (:mod:`news_recsys_tpu.training.metrics`) with warm/cold cohorts, writing
+  the reference's ``val_log.log`` block format so ``log_analysis`` tooling
+  keeps working;
+- experiment dirs ``experiments/<name>_<YYYYmmdd-HHMMSS>/`` with ``ckpts/``,
+  ``train.log``, ``val_log.log``, ``model_info.log``, ``metrics.jsonl``
+  (structured scalar log channel standing in for TensorBoard), mirroring
+  the reference layout (``deep/train.py:31-36``, ``base_model.py:181-256``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Iterable, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+from flax.training import train_state
+
+from ..config import Config
+from ..data.packed_dataset import PackedDataset, iterate_batches
+from ..parallel.mesh import make_mesh, param_shardings, shard_batch
+from ..utils.logging import get_logger
+from .metrics import compute_user_metrics, format_validation_block
+from .schedule import hold_cosine_floor
+
+logger = get_logger("trainer")
+
+AUC_BINS = 4096
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+@dataclass
+class AucHist:
+    """On-device binned (pos, neg) score histograms for streaming AUC."""
+
+    pos: jnp.ndarray
+    neg: jnp.ndarray
+
+    @staticmethod
+    def zeros():
+        return AucHist(jnp.zeros(AUC_BINS, jnp.float32), jnp.zeros(AUC_BINS, jnp.float32))
+
+
+jax.tree_util.register_dataclass(AucHist, data_fields=["pos", "neg"], meta_fields=[])
+
+
+def binned_auc_update(hist: AucHist, probs, labels, weights) -> AucHist:
+    bins = jnp.clip((probs * AUC_BINS).astype(jnp.int32), 0, AUC_BINS - 1)
+    pos_w = weights * labels
+    neg_w = weights * (1.0 - labels)
+    return AucHist(
+        pos=hist.pos.at[bins].add(pos_w),
+        neg=hist.neg.at[bins].add(neg_w),
+    )
+
+
+def binned_auc_value(hist: AucHist) -> jnp.ndarray:
+    """AUC estimate: P(score_pos > score_neg) + 0.5 P(equal bin)."""
+    cum_neg = jnp.cumsum(hist.neg) - hist.neg  # negatives strictly below bin
+    wins = jnp.sum(hist.pos * (cum_neg + 0.5 * hist.neg))
+    total = jnp.sum(hist.pos) * jnp.sum(hist.neg)
+    return jnp.where(total > 0, wins / total, 0.0)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    hp = cfg.train_hparams
+    sched = hold_cosine_floor(hp.lr, hp.min_lr, hp.lr_milestones)
+    return optax.adamw(sched, b1=hp.b1, b2=hp.b2, weight_decay=hp.weight_decay)
+
+
+def loss_fn(model, params, batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    logits = model.apply(params, batch)
+    labels = batch["label"][:, 0]
+    weights = batch.get("_valid", jnp.ones_like(labels))
+    per_ex = optax.sigmoid_binary_cross_entropy(logits, labels)
+    denom = jnp.maximum(weights.sum(), 1.0)
+    loss = (per_ex * weights).sum() / denom
+    return loss, {"logits": logits, "labels": labels, "weights": weights}
+
+
+def make_train_step(model, mesh):
+    def step(state: TrainState, hist: AucHist, batch):
+        (loss, aux), grads = jax.value_and_grad(
+            partial(loss_fn, model), has_aux=True
+        )(state.params, batch)
+        state = state.apply_gradients(grads=grads)
+        probs = jax.nn.sigmoid(aux["logits"])
+        hist = binned_auc_update(hist, probs, aux["labels"], aux["weights"])
+        return state, hist, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_eval_step(model):
+    def step(params, batch):
+        logits = model.apply(params, batch)
+        return jax.nn.sigmoid(logits)
+
+    return jax.jit(step)
+
+
+class Trainer:
+    """Epoch-driven trainer with the reference's experiment-dir contract."""
+
+    def __init__(self, cfg: Config, model, workdir: Optional[str] = None,
+                 mesh=None, use_mesh: bool = True):
+        self.cfg = cfg
+        self.model = model
+        self.mesh = mesh if mesh is not None else (
+            make_mesh(cfg.mesh.data, cfg.mesh.model) if use_mesh and len(jax.devices()) > 1 else None
+        )
+        ts = time.strftime("%Y%m%d-%H%M%S")
+        self.log_dir = workdir or os.path.join("experiments", f"{cfg.name}_{ts}")
+        self.ckpt_dir = os.path.join(self.log_dir, "ckpts")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.val_log_path = os.path.join(self.log_dir, "val_log.log")
+        self.train_log_path = os.path.join(self.log_dir, "train.log")
+        self.metrics_path = os.path.join(self.log_dir, "metrics.jsonl")
+        open(self.val_log_path, "a").close()
+
+        self.train_step = make_train_step(model, self.mesh)
+        self.eval_step = make_eval_step(model)
+        self.global_step = 0
+
+    # -- setup ---------------------------------------------------------------
+
+    def init_state(self, sample_batch: Dict[str, np.ndarray], seed: Optional[int] = None) -> TrainState:
+        seed = self.cfg.train_hparams.seed if seed is None else seed
+        params = self.model.init(jax.random.PRNGKey(seed), jax.device_put(sample_batch))
+        tx = make_optimizer(self.cfg)
+        state = TrainState.create(apply_fn=self.model.apply, params=params, tx=tx)
+        if self.mesh is not None:
+            # shard params; optimizer moments mirror their param's sharding
+            state = jax.device_put(state, param_shardings_for_state(state, self.mesh))
+        self._write_model_info(state)
+        return state
+
+    def _write_model_info(self, state: TrainState) -> None:
+        """Param summary table (the reference dumps Lightning's ModelSummary,
+        ``base_model.py:214-218``)."""
+        lines = ["  | Name | Shape | Params"]
+        total = 0
+        flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+        for path, leaf in flat:
+            n = int(np.prod(leaf.shape)) if hasattr(leaf, "shape") else 1
+            total += n
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            lines.append(f"  | {name} | {tuple(leaf.shape)} | {n:,}")
+        lines.append(f"  Total params: {total:,}")
+        with open(os.path.join(self.log_dir, "model_info.log"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def _log_scalars(self, step: int, **scalars) -> None:
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps({"step": step, **scalars}) + "\n")
+
+    # -- training ------------------------------------------------------------
+
+    def train_epoch(self, state: TrainState, ds: PackedDataset, epoch: int) -> Tuple[TrainState, Dict[str, float]]:
+        hp = self.cfg.train_hparams
+        hist = AucHist.zeros()
+        loss_sum, n_steps = 0.0, 0
+        t0 = time.perf_counter()
+        n_examples = 0
+        last_loss = None
+        for batch in iterate_batches(ds, self.cfg.dataset.batch_size, shuffle=True,
+                                     seed=self.cfg.dataset.shuffle_seed, epoch=epoch):
+            if self.global_step >= hp.max_step:
+                break
+            batch = shard_batch(batch, self.mesh)
+            state, hist, last_loss = self.train_step(state, hist, batch)
+            self.global_step += 1
+            n_steps += 1
+            n_examples += self.cfg.dataset.batch_size
+            if n_steps % hp.log_every_n_steps == 0:
+                loss_sum += float(last_loss)  # occasional host sync only
+        dt = time.perf_counter() - t0
+        train_auc = float(binned_auc_value(hist))
+        metrics = {
+            "train_loss": float(last_loss) if last_loss is not None else float("nan"),
+            "train_auc": train_auc,
+            "examples_per_sec": n_examples / max(dt, 1e-9),
+            "steps": n_steps,
+        }
+        self._log_scalars(self.global_step, epoch=epoch, **metrics)
+        with open(self.train_log_path, "a") as f:
+            f.write(f"Epoch {epoch} Training Metrics:\n")
+            for k, v in metrics.items():
+                f.write(f"  {k}: {v:.4f}\n")
+            f.write("-" * 20 + "\n")
+        logger.info(
+            f"epoch {epoch}: steps={n_steps} loss={metrics['train_loss']:.4f} "
+            f"auc~{train_auc:.4f} ex/s={metrics['examples_per_sec']:.0f}"
+        )
+        return state, metrics
+
+    # -- validation ----------------------------------------------------------
+
+    def predict(self, params, ds: PackedDataset, batch_size: Optional[int] = None):
+        """Scores for every row of ``ds`` in order."""
+        bs = batch_size or self.cfg.dataset.eval_batch_size or self.cfg.dataset.batch_size
+        scores, valids = [], []
+        for batch in iterate_batches(ds, bs, shuffle=False):
+            b = shard_batch(batch, self.mesh)
+            s = self.eval_step(params, b)
+            scores.append(np.asarray(s))
+            valids.append(batch["_valid"])
+        scores = np.concatenate(scores)
+        valid = np.concatenate(valids) > 0
+        return scores[valid][: len(ds)]
+
+    def validate(self, state: TrainState, ds: PackedDataset, epoch: int,
+                 warm_user_set: Optional[Set[int]] = None) -> Dict[str, Dict[str, float]]:
+        scores = self.predict(state.params, ds)
+        uids = ds.arrays["user_id"]
+        labels = ds.arrays["label"][:, 0]
+        results = compute_user_metrics(uids, scores, labels, warm_user_set)
+        block = format_validation_block(results, epoch)
+        print(block)
+        with open(self.val_log_path, "a") as f:
+            f.write(block)
+        self._log_scalars(self.global_step, epoch=epoch,
+                          val_auc=results["Overall"]["AUC"],
+                          val_gauc=results["Overall"]["GAUC"],
+                          val_ndcg10=results["Overall"]["NDCG@10"])
+        return results
+
+    # -- checkpointing -------------------------------------------------------
+
+    def save_checkpoint(self, state: TrainState, epoch: int) -> str:
+        path = os.path.join(self.ckpt_dir, f"epoch_{epoch:03d}.msgpack")
+        host_state = jax.device_get(state)
+        blob = serialization.to_bytes({"params": host_state.params,
+                                       "opt_state": host_state.opt_state,
+                                       "step": host_state.step})
+        with open(path, "wb") as f:
+            f.write(blob)
+        return path
+
+    def load_checkpoint(self, state: TrainState, path: str) -> TrainState:
+        """Strict restore (reference ``load_model``, ``base_model.py:531-536``)."""
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"Checkpoint not found: {path}")
+        with open(path, "rb") as f:
+            blob = f.read()
+        target = {"params": jax.device_get(state.params),
+                  "opt_state": jax.device_get(state.opt_state),
+                  "step": jax.device_get(state.step)}
+        restored = serialization.from_bytes(target, blob)
+        state = state.replace(params=restored["params"],
+                              opt_state=restored["opt_state"],
+                              step=restored["step"])
+        self.global_step = int(restored["step"])
+        if self.mesh is not None:
+            state = jax.device_put(state, param_shardings_for_state(state, self.mesh))
+        return state
+
+    # -- fit -----------------------------------------------------------------
+
+    def fit(self, train_ds: PackedDataset, dev_ds: Optional[PackedDataset] = None,
+            warm_user_set: Optional[Set[int]] = None, state: Optional[TrainState] = None,
+            max_epochs: Optional[int] = None) -> TrainState:
+        hp = self.cfg.train_hparams
+        max_epochs = max_epochs if max_epochs is not None else hp.max_epoch
+        if state is None:
+            sample = next(iterate_batches(train_ds, self.cfg.dataset.batch_size, shuffle=False))
+            state = self.init_state(sample)
+        for epoch in range(max_epochs):
+            state, _ = self.train_epoch(state, train_ds, epoch)
+            if dev_ds is not None and (epoch + 1) % hp.val_freq == 0:
+                self.validate(state, dev_ds, epoch, warm_user_set)
+            self.save_checkpoint(state, epoch)
+            if self.global_step >= hp.max_step:
+                logger.info(f"Reached max_step={hp.max_step}; stopping.")
+                break
+        return state
+
+
+def param_shardings_for_state(state: TrainState, mesh):
+    """Shardings pytree matching a TrainState: params + mirrored opt state."""
+    p_sh = param_shardings(state.params, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+
+    def opt_spec(leaf):
+        # Adam moments have the same shape as their param; match by shape
+        return rep
+
+    # Build: params -> p_sh; opt_state/step -> replicated except moments that
+    # correspond to embedding tables. optax.adamw state: (ScaleByAdamState(mu, nu), ...)
+    def match_like_params(opt_state):
+        def map_state(s):
+            if isinstance(s, (optax.ScaleByAdamState,)):
+                return s._replace(
+                    count=rep,
+                    mu=jax.tree.map(lambda _, sh: sh, s.mu, p_sh),
+                    nu=jax.tree.map(lambda _, sh: sh, s.nu, p_sh),
+                )
+            return jax.tree.map(lambda _: rep, s)
+        if isinstance(opt_state, tuple):
+            return tuple(map_state(s) for s in opt_state)
+        return map_state(opt_state)
+
+    return state.replace(
+        params=p_sh,
+        opt_state=match_like_params(state.opt_state),
+        step=rep,
+    )
