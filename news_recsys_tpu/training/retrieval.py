@@ -1,0 +1,139 @@
+"""DSSM retrieval training + batched ANN evaluation (HR@k / Recall@k).
+
+Replaces the reference's DSSM Lightning loop (``DSSM/train.py``,
+``DSSM/model.py:115-126`` training_step; ``:182-254`` epoch-end faiss eval):
+the eval encodes the full item corpus once, then scores **all** query users
+with one matmul+top_k sweep and applies per-user history dedup on host — vs
+the reference's one-faiss-query-per-user bs=1 loop.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data.packed_dataset import PackedDataset, iterate_batches
+from ..models.dssm import DSSM, dssm_train_loss, _l2
+from ..ops.topk import TopKSearcher
+from ..utils.logging import get_logger
+from .trainer import TrainState, make_optimizer
+
+logger = get_logger("retrieval")
+
+
+def make_dssm_train_step(model: DSSM, negative_sample_rate: int, temperature: float):
+    def step(state: TrainState, rng, batch):
+        rng, sub = jax.random.split(rng)
+        loss, grads = jax.value_and_grad(
+            lambda p: dssm_train_loss(model, p, sub, batch, negative_sample_rate, temperature)
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, rng, loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class DSSMTrainer:
+    """Two-tower trainer with per-epoch retrieval eval."""
+
+    def __init__(self, cfg: Config, model: DSSM, workdir: Optional[str] = None,
+                 negative_sample_rate: int = 3, temperature: float = 0.1):
+        self.cfg = cfg
+        self.model = model
+        self.negative_sample_rate = negative_sample_rate
+        ts = time.strftime("%Y%m%d-%H%M%S")
+        self.log_dir = workdir or os.path.join("experiments", f"{cfg.name}_{ts}")
+        self.ckpt_dir = os.path.join(self.log_dir, "ckpts")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.train_step = make_dssm_train_step(model, negative_sample_rate, temperature)
+        self.encode_user = jax.jit(partial(model.apply, method=DSSM.user_embedding))
+        self.encode_item = jax.jit(partial(model.apply, method=DSSM.item_embedding))
+        self.global_step = 0
+
+    def init_state(self, sample_batch) -> TrainState:
+        params = self.model.init(jax.random.PRNGKey(self.cfg.train_hparams.seed),
+                                 jax.device_put(sample_batch))
+        return TrainState.create(apply_fn=self.model.apply, params=params,
+                                 tx=make_optimizer(self.cfg))
+
+    def fit(self, train_ds: PackedDataset, epochs: Optional[int] = None,
+            state: Optional[TrainState] = None) -> TrainState:
+        hp = self.cfg.train_hparams
+        epochs = epochs if epochs is not None else hp.max_epoch
+        if state is None:
+            sample = next(iterate_batches(train_ds, self.cfg.dataset.batch_size, shuffle=False))
+            state = self.init_state(sample)
+        rng = jax.random.PRNGKey(hp.seed + 1)
+        for epoch in range(epochs):
+            last = None
+            for batch in iterate_batches(train_ds, self.cfg.dataset.batch_size,
+                                         shuffle=True, seed=self.cfg.dataset.shuffle_seed,
+                                         epoch=epoch):
+                state, rng, last = self.train_step(state, rng, jax.device_put(batch))
+                self.global_step += 1
+                if self.global_step >= hp.max_step:
+                    break
+            logger.info(f"dssm epoch {epoch}: loss={float(last):.4f}")
+        return state
+
+    # -- encoding ------------------------------------------------------------
+
+    def _encode(self, params, ds: PackedDataset, fn) -> np.ndarray:
+        bs = self.cfg.dataset.eval_batch_size or self.cfg.dataset.batch_size
+        out = []
+        for batch in iterate_batches(ds, bs, shuffle=False):
+            valid = batch.pop("_valid")
+            emb = fn(params, jax.device_put(batch))
+            out.append(np.asarray(emb)[valid > 0])
+        return np.concatenate(out)[: len(ds)]
+
+    def encode_item_corpus(self, params, item_ds: PackedDataset) -> np.ndarray:
+        return np.asarray(_l2(jnp.asarray(self._encode(params, item_ds, self.encode_item))))
+
+    def encode_users(self, params, ds: PackedDataset) -> np.ndarray:
+        return np.asarray(_l2(jnp.asarray(self._encode(params, ds, self.encode_user))))
+
+
+def evaluate_retrieval(
+    trainer: DSSMTrainer,
+    params,
+    item_ds: PackedDataset,
+    query_ds: PackedDataset,
+    target_item_ids: np.ndarray,
+    histories: Sequence[np.ndarray],
+    k: int = 10,
+) -> Dict[str, float]:
+    """HitRate@k with user-history dedup, batched over all queries.
+
+    ``query_ds`` rows are (typically positive) dev impressions;
+    ``target_item_ids`` the clicked item per row; ``histories`` the user's
+    prior clicked item ids per row (excluded from the candidate list, as in
+    ``DSSM/model.py:205-224``).
+    """
+    corpus = trainer.encode_item_corpus(params, item_ds)
+    corpus_item_ids = item_ds.arrays["item_id"].astype(np.int64)
+    users = trainer.encode_users(params, query_ds)
+
+    max_hist = max((len(h) for h in histories), default=0)
+    searcher = TopKSearcher(normalize=False)  # embeddings already normalized
+    searcher.update_embedding(corpus)
+    fetch = min(k + max_hist, corpus.shape[0])
+    idx, _ = searcher.search(users, fetch)
+    retrieved_ids = corpus_item_ids[idx]  # (Q, fetch)
+
+    hits = 0
+    for row in range(len(target_item_ids)):
+        hist = set(int(x) for x in histories[row])
+        kept = [int(i) for i in retrieved_ids[row] if int(i) not in hist][:k]
+        if int(target_item_ids[row]) in kept:
+            hits += 1
+    hr = hits / max(1, len(target_item_ids))
+    return {f"HR@{k}": hr, "num_queries": len(target_item_ids)}
