@@ -1,0 +1,177 @@
+"""Unified CLI: preprocess / fe / train / log / visualize-history / synth.
+
+Command parity with the reference Makefile targets (``Makefile:1-35``), as
+subcommands of ``python -m news_recsys_tpu``. One YAML config drives the
+whole cascade, exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+from .config import Config, load_config
+from .utils.logging import get_logger
+
+logger = get_logger("cli")
+
+
+def _load_warm_users(cfg: Config):
+    path = os.path.join(cfg.paths.out_basedir, "preprocess", "train_user_ids.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return set(json.load(f))
+    logger.warning(f"train_user_ids.json not found at {path}; all users treated as warm")
+    return None
+
+
+def cmd_preprocess(args):
+    from .data.preprocess import run_preprocess
+    cfg = load_config(args.config)
+    run_preprocess(cfg.paths.data_path, cfg.paths.out_basedir)
+
+
+def cmd_fe(args):
+    from .data.feature_extraction import FeatureExtractionPipeline
+    cfg = load_config(args.config)
+    FeatureExtractionPipeline(cfg, write_text=args.text).run()
+
+
+def cmd_train(args):
+    from .data.packed_dataset import PackedDataset
+    cfg = load_config(args.config)
+    name = args.model or cfg.name
+    train_ds = PackedDataset.open_split(cfg, "train")
+    warm = _load_warm_users(cfg)
+
+    if name == "dssm":
+        _train_dssm(cfg, args, train_ds)
+        return
+
+    from .models.rankers import build_ranker
+    from .training.trainer import Trainer
+
+    dev_ds = PackedDataset.open_split(cfg, "dev")
+    model = build_ranker(cfg, name)
+    trainer = Trainer(cfg, model, workdir=args.workdir)
+    logger.info(f"Training '{name}' -> {trainer.log_dir}")
+    trainer.fit(train_ds, dev_ds, warm_user_set=warm, max_epochs=args.epochs)
+    print(f"Experiment dir: {trainer.log_dir}")
+
+
+def _train_dssm(cfg: Config, args, train_ds):
+    import numpy as np
+
+    from .data.packed_dataset import PackedDataset
+    from .models.dssm import build_dssm
+    from .training.retrieval import DSSMTrainer, evaluate_retrieval
+
+    model = build_dssm(cfg)
+    trainer = DSSMTrainer(cfg, model, workdir=args.workdir)
+    logger.info(f"Training DSSM -> {trainer.log_dir}")
+    state = trainer.fit(train_ds, epochs=args.epochs)
+
+    # retrieval eval on dev positives with history dedup
+    item_ds = PackedDataset.open_split(cfg, "item")
+    dev_ds = PackedDataset.open_split(cfg, "dev")
+    pos = dev_ds.arrays["label"][:, 0] == 1
+    query = PackedDataset({k: v[pos] for k, v in dev_ds.arrays.items()})
+    histories = _dev_histories(cfg, pos)
+    res = evaluate_retrieval(trainer, state.params, item_ds, query,
+                             target_item_ids=query.arrays["item_id"],
+                             histories=histories, k=10)
+    print(json.dumps(res))
+    with open(os.path.join(trainer.log_dir, "retrieval_eval.json"), "w") as f:
+        json.dump(res, f)
+
+
+def _dev_histories(cfg: Config, row_mask):
+    """Per-row clicked-history lists from dev_behaviors_processed.csv."""
+    import pandas as pd
+    path = os.path.join(cfg.paths.out_basedir, "preprocess", "dev_behaviors_processed.csv")
+    cols = ["impression_id", "user_id", "time", "history", "item_id", "label"]
+    df = pd.read_csv(path, sep="\t", names=cols, quoting=3)
+    hists = df["history"].fillna("").astype(str).apply(
+        lambda s: [int(x) for x in s.split(" ")] if s else [])
+    return [h for h, m in zip(hists, row_mask) if m]
+
+
+def cmd_log(args):
+    from .utils.log_analysis import format_best_epoch, parse_log
+    target = args.target
+    if os.path.isdir(target):
+        target = os.path.join(target, "val_log.log")
+    elif not os.path.exists(target):
+        # treat as a model name: pick the latest experiments/<model>_20* dir
+        dirs = sorted(glob.glob(f"experiments/{target}_20*"), reverse=True)
+        if not dirs:
+            print(f"No experiment dirs match experiments/{target}_20*")
+            return
+        target = os.path.join(dirs[0], "val_log.log")
+    print(f"Parsing: {target}")
+    model_name = os.path.basename(os.path.dirname(os.path.abspath(target))).split("_")[0]
+    print(format_best_epoch(parse_log(target), model_name))
+
+
+def cmd_visualize_history(args):
+    from .utils.visualize_history import generate_html_report
+    generate_html_report(args.news, args.behaviors, args.output, args.max_users)
+
+
+def cmd_synth(args):
+    from .data.synthetic import generate_mind
+    generate_mind(args.out, n_news=args.news, n_users=args.users,
+                  n_impressions_train=args.train_impressions,
+                  n_impressions_dev=args.dev_impressions, seed=args.seed)
+    print(f"Synthetic MIND written to {args.out}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="news_recsys_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("preprocess", help="build ID maps + exploded behaviors")
+    p.add_argument("-c", "--config", required=True)
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("fe", help="feature extraction")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--text", action="store_true", help="also write reference text format")
+    p.set_defaults(fn=cmd_fe)
+
+    p = sub.add_parser("train", help="train a model")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-m", "--model", default=None, help="override config model name")
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("log", help="best-epoch report from val_log.log")
+    p.add_argument("target", help="log file, experiment dir, or model name")
+    p.set_defaults(fn=cmd_log)
+
+    p = sub.add_parser("visualize-history", help="HTML user-history report")
+    p.add_argument("--news", required=True)
+    p.add_argument("--behaviors", required=True)
+    p.add_argument("--output", default="user_history_report.html")
+    p.add_argument("--max-users", type=int, default=200)
+    p.set_defaults(fn=cmd_visualize_history)
+
+    p = sub.add_parser("synth", help="generate synthetic MIND-format data")
+    p.add_argument("--out", required=True)
+    p.add_argument("--news", type=int, default=2000)
+    p.add_argument("--users", type=int, default=1000)
+    p.add_argument("--train-impressions", type=int, default=5000)
+    p.add_argument("--dev-impressions", type=int, default=1500)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_synth)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
