@@ -44,7 +44,14 @@ class PackedDataset:
             return cls({k: z[k] for k in z.files})
 
     @classmethod
-    def from_text(cls, path: str, cfg: Config) -> "PackedDataset":
+    def from_text(cls, path: str, cfg: Config, native: bool = True) -> "PackedDataset":
+        """Parse the reference text format — native C++ one-pass parser when
+        available, pure-Python fallback otherwise."""
+        if native:
+            from ..native import parse_text_features_native
+            arrays = parse_text_features_native(path, cfg)
+            if arrays is not None:
+                return cls(arrays)
         from .text_format import read_text_features
         return cls(read_text_features(path, cfg))
 
