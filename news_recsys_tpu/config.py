@@ -88,6 +88,9 @@ class MeshConfig:
     model: int = 1        # row-sharding factor for embedding tables
     param_dtype: str = "float32"
     compute_dtype: str = "float32"   # towers can run bf16; fp32 default
+    # Explicit shard_map local-lookup+psum for sharded tables instead of
+    # relying on GSPMD auto-partitioning of the gather.
+    explicit_collectives: bool = False
 
 
 @dataclass(frozen=True)

@@ -63,9 +63,22 @@ class EmbeddingCollection(nn.Module):
     # -- single-feature ops -------------------------------------------------
 
     def lookup(self, table_name: str, ids: jnp.ndarray) -> jnp.ndarray:
-        """Gather rows; id 0 (padding) yields exact zeros (value and grad)."""
+        """Gather rows; id 0 (padding) yields exact zeros (value and grad).
+
+        With an active explicit-collectives mesh
+        (:func:`news_recsys_tpu.parallel.sharded_embedding.set_active_mesh`)
+        the gather runs as a shard_map local-lookup + psum over the row
+        shards; otherwise GSPMD partitions the plain take.
+        """
+        from ..parallel.sharded_embedding import active_mesh, sharded_lookup
+
         table = self._tables[table_name]
-        emb = jnp.take(table, ids, axis=0)
+        ctx = active_mesh()
+        if ctx is not None:
+            mesh, model_axis, data_axis = ctx
+            emb = sharded_lookup(table, ids, mesh, model_axis, data_axis)
+        else:
+            emb = jnp.take(table, ids, axis=0)
         return emb * (ids != 0).astype(emb.dtype)[..., None]
 
     @staticmethod

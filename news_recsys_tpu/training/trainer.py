@@ -136,6 +136,9 @@ class Trainer:
         self.mesh = mesh if mesh is not None else (
             make_mesh(cfg.mesh.data, cfg.mesh.model) if use_mesh and len(jax.devices()) > 1 else None
         )
+        if cfg.mesh.explicit_collectives:
+            from ..parallel.sharded_embedding import set_active_mesh
+            set_active_mesh(self.mesh)
         ts = time.strftime("%Y%m%d-%H%M%S")
         self.log_dir = workdir or os.path.join("experiments", f"{cfg.name}_{ts}")
         self.ckpt_dir = os.path.join(self.log_dir, "ckpts")
