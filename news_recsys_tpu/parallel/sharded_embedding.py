@@ -64,7 +64,6 @@ def sharded_lookup(table: jnp.ndarray, ids: jnp.ndarray, mesh: Mesh,
         mesh=mesh,
         in_specs=(P(model_axis, None), id_spec),
         out_specs=out_spec,
-        check_rep=False,
     )
     def f(tbl, ids_local):
         shard = jax.lax.axis_index(model_axis)
