@@ -1,0 +1,68 @@
+"""Multi-host initialization + per-host data sharding helpers.
+
+The reference has no distributed communication at all (SURVEY §2.3). On TPU
+pods, multi-host SPMD needs:
+
+1. ``jax.distributed.initialize()`` on every host (auto-detected on TPU
+   pods via the metadata server);
+2. a global mesh spanning all hosts' devices — collectives ride ICI within
+   a slice and DCN across slices, chosen by XLA from the same
+   ``PartitionSpec`` annotations used single-host;
+3. per-host input feeding: each host loads its own slice of the global
+   batch and :func:`host_local_batch_to_global` assembles the global
+   sharded array (``jax.make_array_from_process_local_data``).
+
+These helpers cannot be exercised on single-host CI; the sharding program
+itself is validated by the CPU-mesh tests and the driver's
+``dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils.logging import get_logger
+
+logger = get_logger("distributed")
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Idempotent ``jax.distributed.initialize`` (no-op if single-process)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator_address:
+            jax.distributed.initialize(coordinator_address, num_processes, process_id)
+        else:
+            jax.distributed.initialize()  # TPU pod auto-detection
+        logger.info(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+        )
+    except Exception as e:
+        logger.info(f"single-process mode ({e})")
+
+
+def global_mesh(data: int = -1, model: int = 1) -> Mesh:
+    """Mesh over ALL processes' devices (data-major order)."""
+    from .mesh import make_mesh
+    return make_mesh(data=data, model=model, devices=jax.devices())
+
+
+def host_local_batch_to_global(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict:
+    """Assemble a global batch-sharded array from per-host local shards.
+
+    Each host passes its local rows; the result is a global array sharded
+    P('data') whose global leading dim is ``local_rows * num_hosts_on_data``.
+    """
+    def convert(x):
+        spec = P("data", *([None] * (np.ndim(x) - 1)))
+        return jax.make_array_from_process_local_data(NamedSharding(mesh, spec), x)
+
+    return {k: convert(v) for k, v in batch.items()}

@@ -130,7 +130,8 @@ class Trainer:
     """Epoch-driven trainer with the reference's experiment-dir contract."""
 
     def __init__(self, cfg: Config, model, workdir: Optional[str] = None,
-                 mesh=None, use_mesh: bool = True):
+                 mesh=None, use_mesh: bool = True, profile_steps: int = 0):
+        self.profile_steps = profile_steps
         self.cfg = cfg
         self.model = model
         self.mesh = mesh if mesh is not None else (
@@ -193,6 +194,9 @@ class Trainer:
         t0 = time.perf_counter()
         n_examples = 0
         last_loss = None
+        profiling = self.profile_steps > 0 and epoch == 0
+        if profiling:
+            jax.profiler.start_trace(os.path.join(self.log_dir, "profile"))
         for batch in iterate_batches(ds, self.cfg.dataset.batch_size, shuffle=True,
                                      seed=self.cfg.dataset.shuffle_seed, epoch=epoch):
             if self.global_step >= hp.max_step:
@@ -200,10 +204,17 @@ class Trainer:
             batch = shard_batch(batch, self.mesh)
             state, hist, last_loss = self.train_step(state, hist, batch)
             self.global_step += 1
+            if profiling and n_steps + 1 >= self.profile_steps:
+                jax.block_until_ready(last_loss)
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info(f"Profiler trace: {os.path.join(self.log_dir, 'profile')}")
             n_steps += 1
             n_examples += self.cfg.dataset.batch_size
             if n_steps % hp.log_every_n_steps == 0:
                 loss_sum += float(last_loss)  # occasional host sync only
+        if profiling:
+            jax.profiler.stop_trace()
         dt = time.perf_counter() - t0
         train_auc = float(binned_auc_value(hist))
         metrics = {
@@ -256,6 +267,34 @@ class Trainer:
         return results
 
     # -- checkpointing -------------------------------------------------------
+
+    def checkpoint_manager(self):
+        """Orbax manager for sharded, mesh-flexible checkpoints."""
+        if getattr(self, "_ckpt_mgr", None) is None:
+            from .checkpoint import CheckpointManager
+            self._ckpt_mgr = CheckpointManager(os.path.join(self.ckpt_dir, "orbax"))
+        return self._ckpt_mgr
+
+    def save_checkpoint_sharded(self, state: TrainState, step: int) -> None:
+        self.checkpoint_manager().save(step, {"params": state.params,
+                                              "opt_state": state.opt_state,
+                                              "step": state.step})
+
+    def restore_latest(self, state: TrainState) -> Tuple[TrainState, bool]:
+        """Restore the newest sharded checkpoint into ``state``'s shardings;
+        returns (state, restored?)."""
+        mgr = self.checkpoint_manager()
+        if mgr.latest_step() is None:
+            return state, False
+        restored = mgr.restore({"params": state.params,
+                                "opt_state": state.opt_state,
+                                "step": state.step})
+        state = state.replace(params=restored["params"],
+                              opt_state=restored["opt_state"],
+                              step=restored["step"])
+        self.global_step = int(state.step)
+        logger.info(f"Restored checkpoint at step {self.global_step}")
+        return state, True
 
     def save_checkpoint(self, state: TrainState, epoch: int) -> str:
         path = os.path.join(self.ckpt_dir, f"epoch_{epoch:03d}.msgpack")
