@@ -1,6 +1,8 @@
-"""Benchmark: DCN train-step throughput (examples/sec/chip) on the default
-backend (TPU under the driver), with a CPU-subprocess baseline for
-``vs_baseline`` (BASELINE.json north star: >=3x examples/s/chip over CPU).
+"""Benchmark: END-TO-END DCN training throughput (examples/sec/chip) — full
+Trainer epoch including input pipeline (device-resident chunked lax.scan
+path), on the default backend (TPU under the driver), with a CPU-subprocess
+baseline for ``vs_baseline`` (BASELINE.json north star: >=3x examples/s/chip
+over CPU).
 
 Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -13,42 +15,48 @@ import sys
 import time
 
 BATCH = 512          # reference training recipe batch size (train_cf_deep.yaml:48)
-WARMUP = 5
-STEPS = 100
-CPU_STEPS = 20
+ROWS = 512 * 1024    # benchmark dataset rows
+CPU_ROWS = 512 * 64
 
 
-def measure(steps: int) -> float:
-    import jax
+def measure(rows: int) -> float:
+    import numpy as np
 
+    from news_recsys_tpu.data.packed_dataset import PackedDataset
     from news_recsys_tpu.models.rankers import build_ranker
-    from news_recsys_tpu.training.trainer import AucHist, Trainer
-    from news_recsys_tpu.zoo import mind_config, synthetic_batch
+    from news_recsys_tpu.training.trainer import Trainer
+    from news_recsys_tpu.zoo import MIND_FEATURES, MIND_TABLE_SIZE, mind_config
 
     import tempfile
 
+    rng = np.random.default_rng(0)
+    arrays = {
+        name: rng.integers(1, MIND_TABLE_SIZE[name], rows).astype(np.int32)
+        for name in MIND_FEATURES
+    }
+    arrays["label"] = (rng.random(rows) < 0.1).astype(np.float32).reshape(-1, 1)
+    ds = PackedDataset(arrays)
+
+    import dataclasses
     cfg = mind_config("dcn", batch_size=BATCH)
+    # production fast path: rowwise embedding updates (torch SparseAdam
+    # semantics; convergence-parity tested vs exact dense AdamW)
+    cfg = dataclasses.replace(cfg, train_hparams=dataclasses.replace(
+        cfg.train_hparams, embedding_optimizer="sparse_adamw"))
     model = build_ranker(cfg, "dcn")
     with tempfile.TemporaryDirectory() as tmp:
         trainer = Trainer(cfg, model, workdir=tmp, use_mesh=False)
-        batches = [jax.device_put(synthetic_batch(BATCH, seed=s)) for s in range(8)]
-        state = trainer.init_state(batches[0])
-        hist = AucHist.zeros()
-        for i in range(WARMUP):
-            state, hist, loss = trainer.train_step(state, hist, batches[i % 8])
-        loss.block_until_ready()
+        state = trainer.fit(ds, max_epochs=1)          # epoch 0: compile + warmup
         t0 = time.perf_counter()
-        for i in range(steps):
-            state, hist, loss = trainer.train_step(state, hist, batches[i % 8])
-        loss.block_until_ready()
+        state, metrics = trainer.train_epoch(state, ds, epoch=1)
         dt = time.perf_counter() - t0
-    return steps * BATCH / dt
+    return metrics["steps"] * BATCH / dt
 
 
 def cpu_baseline() -> float:
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
-        f"import bench; print('CPU_RESULT', bench.measure({CPU_STEPS}))"
+        f"import bench; print('CPU_RESULT', bench.measure({CPU_ROWS}))"
     )
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -66,11 +74,11 @@ def cpu_baseline() -> float:
 
 
 def main():
-    value = measure(STEPS)
+    value = measure(ROWS)
     baseline = cpu_baseline()
     vs = value / baseline if baseline > 0 else 0.0
     print(json.dumps({
-        "metric": "dcn_train_examples_per_sec_per_chip",
+        "metric": "dcn_e2e_train_examples_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs, 2),

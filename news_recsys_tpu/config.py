@@ -75,6 +75,10 @@ class TrainHParams:
     b1: float = 0.9
     b2: float = 0.999
     seed: int = 42
+    # "adamw": exact reference semantics (dense moments/decay on all rows).
+    # "sparse_adamw": rowwise updates on touched rows only (torch SparseAdam
+    # semantics) — the recsys fast path; ~O(B) instead of O(V) table traffic.
+    embedding_optimizer: str = "adamw"
     device: str = "tpu"           # reference compat ("gpu" accepted, ignored)
     gpus: Tuple[int, ...] = ()    # reference compat, ignored
     log_every_n_steps: int = 50

@@ -9,10 +9,13 @@ exercised end-to-end without the download.
 
 from __future__ import annotations
 
+import datetime
 import os
 from pathlib import Path
 
 import numpy as np
+
+_EPOCH = datetime.datetime(2019, 11, 11, 0, 0, 0)
 
 CATEGORIES = [
     "news", "sports", "finance", "travel", "lifestyle", "video", "foodanddrink",
@@ -84,12 +87,9 @@ def generate_mind(
                 if sum(labels) == 0 and rng.random() < 0.2:
                     labels[int(rng.integers(0, n_cand))] = 1  # ensure some positives
                 impr_str = " ".join(f"{news_ids[c]}-{l}" for c, l in zip(cands, labels))
-                minute = base_min + imp
-                hour24 = (minute // 60) % 24
-                ampm = "AM" if hour24 < 12 else "PM"
-                hour12 = hour24 % 12 or 12
-                t = (f"11/{11 + minute // 1440}/2019 "
-                     f"{hour12:02d}:{minute % 60:02d}:{int(rng.integers(0, 60)):02d} {ampm}")
+                dt = _EPOCH + datetime.timedelta(minutes=base_min + imp,
+                                                 seconds=int(rng.integers(0, 60)))
+                t = dt.strftime("%m/%d/%Y %I:%M:%S %p")
                 f.write(f"{imp + 1}\t{user_ids[u]}\t{t}\t{hist_str}\t{impr_str}\n")
 
     # train: first 80% of users; dev: all users (tail 20% are cold-start)

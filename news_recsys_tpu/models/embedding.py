@@ -32,7 +32,10 @@ VOCAB_PAD_MULTIPLE = 128
 
 
 def padded_vocab(vocab: int) -> int:
-    return ((vocab + VOCAB_PAD_MULTIPLE - 1) // VOCAB_PAD_MULTIPLE) * VOCAB_PAD_MULTIPLE
+    """Round vocab+1 up to a multiple of 128: tiles TPU layouts, divides
+    evenly under row-sharding, and guarantees at least one spare row above
+    all real ids (the sparse-optimizer scatter sink)."""
+    return ((vocab + 1 + VOCAB_PAD_MULTIPLE - 1) // VOCAB_PAD_MULTIPLE) * VOCAB_PAD_MULTIPLE
 
 
 def embedding_init(key, shape, dtype=jnp.float32):

@@ -39,7 +39,13 @@ def _collection(cfg_tables) -> EmbeddingCollection:
 
 
 class RankerBase(nn.Module):
-    """Shared plumbing: embedding collection + rank-feature schema."""
+    """Shared plumbing: embedding collection + rank-feature schema.
+
+    Every ranker factors as ``__call__ = forward_from_fields(embed_fields)``;
+    the sparse-embedding train step exploits this split to differentiate
+    w.r.t. the per-field embeddings instead of the full tables
+    (:mod:`news_recsys_tpu.training.sparse_step`).
+    """
 
     tables: Tuple[Tuple[str, Tuple[int, int]], ...]
     schema: FeatureSchema
@@ -52,6 +58,9 @@ class RankerBase(nn.Module):
         raise NotImplementedError
 
     def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        return self.forward_from_fields(self.embedder.embed_fields(batch, self.schema))
+
+    def forward_from_fields(self, fields) -> jnp.ndarray:
         raise NotImplementedError
 
 
@@ -64,9 +73,8 @@ class LRRanker(RankerBase):
     def _setup_tower(self):
         pass
 
-    def __call__(self, batch):
-        x = self.embedder.embed_batch(batch, self.schema)
-        return jnp.sum(x, axis=1)
+    def forward_from_fields(self, fields):
+        return jnp.sum(jnp.concatenate(fields, axis=1), axis=1)
 
 
 class DeepRanker(RankerBase):
@@ -77,9 +85,8 @@ class DeepRanker(RankerBase):
     def _setup_tower(self):
         self.tower = MLP(dims=tuple(self.hidden))
 
-    def __call__(self, batch):
-        x = self.embedder.embed_batch(batch, self.schema)
-        return self.tower(x)[:, 0]
+    def forward_from_fields(self, fields):
+        return self.tower(jnp.concatenate(fields, axis=1))[:, 0]
 
 
 class WideDeepRanker(RankerBase):
@@ -92,8 +99,7 @@ class WideDeepRanker(RankerBase):
         self.tower = MLP(dims=tuple(self.hidden))
         self.bias = self.param("bias", nn.initializers.zeros, (1,))
 
-    def __call__(self, batch):
-        fields = self.embedder.embed_fields(batch, self.schema)
+    def forward_from_fields(self, fields):
         wide_cols, deep_cols = [], []
         for spec, emb in zip(self.schema.specs, fields):
             if spec.name in self.wide_features:
@@ -112,10 +118,9 @@ class FMRanker(RankerBase):
     def _setup_tower(self):
         self.bias = self.param("bias", nn.initializers.zeros, (1,))
 
-    def __call__(self, batch):
+    def forward_from_fields(self, fields):
         from ..ops.fm_kernel import fm_second_order
 
-        fields = self.embedder.embed_fields(batch, self.schema)
         dims = {e.shape[1] for e in fields}
         assert len(dims) == 1, "FM requires equal embedding dims across fields"
         w = jnp.concatenate([e[:, 0:1] for e in fields], axis=1)      # (B, nf)
@@ -128,10 +133,10 @@ class FMRanker(RankerBase):
 class CrossNetV1(nn.Module):
     """Stacked DCN-v1 cross layers using the rank-1 identity (see module doc).
 
-    The whole stack runs as one fused Pallas kernel on TPU
-    (:func:`news_recsys_tpu.ops.dcn_kernel.dcn_cross_stack`, ~1.8x faster
-    than the unfused XLA chain at B=4096); param layout matches the
-    per-layer reference (w_i: (dim, 1), b_i: (dim,), ``dcn_arch.py:7-11``).
+    Routed through :func:`news_recsys_tpu.ops.dcn_kernel.dcn_cross_stack`:
+    XLA-fused chain by default (fastest in honest microbenchmarks at these
+    dims), fused Pallas kernel with ``NRT_PALLAS=on``. Param layout matches
+    the per-layer reference (w_i: (dim, 1), b_i: (dim,), ``dcn_arch.py:7-11``).
     """
 
     num_layers: int = 3
@@ -177,8 +182,8 @@ class DCNRanker(RankerBase):
         self.cross = cls(num_layers=self.cross_layers)
         self.tower = MLP(dims=tuple(self.hidden))
 
-    def __call__(self, batch):
-        x = self.embedder.embed_batch(batch, self.schema)
+    def forward_from_fields(self, fields):
+        x = jnp.concatenate(fields, axis=1)
         cross = self.cross(x)
         return self.tower(jnp.concatenate([x, cross], axis=1))[:, 0]
 

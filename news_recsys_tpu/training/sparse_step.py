@@ -1,0 +1,233 @@
+"""Sparse (rowwise) embedding optimizer — the recsys TPU fast path.
+
+With dense AdamW (the reference's optimizer, torch AdamW semantics), every
+step reads/writes the FULL moment+param tensors of every embedding table:
+O(V*D) HBM traffic for a batch that touches only ~B rows. Profiling the DCN
+step on a v5e chip: ~0.2 ms forward+backward vs ~0.6 ms dense-gradient
+materialization + optimizer — the tables dominate.
+
+This module implements the standard fix (torch ``SparseAdam`` semantics,
+also what TPU embedding APIs do): only rows touched by the batch are
+updated — O(B*D) traffic. Mechanics, all static-shaped:
+
+1. rankers factor as ``forward_from_fields``; the step gathers table rows
+   itself and differentiates w.r.t. the **gathered rows** (B- or B*L-sized)
+   — the dense (V, D) gradient never exists;
+2. per table, touched ids from all features sharing it are sorted and
+   deduplicated (segment-sum combines duplicate ids' gradients — required
+   for correct Adam moments);
+3. rowwise Adam with global-step bias correction; updates scatter back with
+   ``.at[rows].set``. Duplicate/invalid slots are routed to a spare row
+   above the real vocab (tables are padded, ``embedding.padded_vocab``).
+
+Semantics vs dense AdamW (documented divergence, as with torch SparseAdam):
+untouched rows' moments do not decay and weight decay applies only on
+touch. Convergence parity is covered by tests on synthetic data.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ARRAY, DENSE, SPARSE, Config
+from ..models.embedding import padded_vocab
+from .schedule import hold_cosine_floor
+from .trainer import AucHist, binned_auc_update
+
+EPS_POOL = 1e-8
+
+
+# Tables with vocab below this use exact dense AdamW (their full-table
+# traffic is trivial and the per-step sort/dedup would cost more).
+SMALL_VOCAB_THRESHOLD = 4096
+
+
+def _large_tables(tables_spec) -> set:
+    return {t for t, (v, d) in dict(tables_spec).items() if v >= SMALL_VOCAB_THRESHOLD}
+
+
+@flax.struct.dataclass
+class SparseTrainState:
+    params: Any                       # full flax params (incl. embedder tables)
+    dense_opt: Any                    # optax state for dense params + small tables
+    emb_mu: Dict[str, jnp.ndarray]    # LARGE-table first moments
+    emb_nu: Dict[str, jnp.ndarray]    # LARGE-table second moments
+    step: jnp.ndarray
+
+
+def init_sparse_state(params, cfg: Config, dense_tx, tables_spec) -> SparseTrainState:
+    inner = params["params"]
+    dense = {k: v for k, v in inner.items() if k != "embedder"}
+    tables = inner["embedder"]
+    large = _large_tables(tables_spec)
+    small = {k: v for k, v in tables.items() if k not in large}
+    return SparseTrainState(
+        params=params,
+        dense_opt=dense_tx.init({"dense": dense, "small": small}),
+        emb_mu={k: jnp.zeros_like(v) for k, v in tables.items() if k in large},
+        emb_nu={k: jnp.zeros_like(v) for k, v in tables.items() if k in large},
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_dense_tx(cfg: Config) -> optax.GradientTransformation:
+    hp = cfg.train_hparams
+    sched = hold_cosine_floor(hp.lr, hp.min_lr, hp.lr_milestones)
+    return optax.adamw(sched, b1=hp.b1, b2=hp.b2, weight_decay=hp.weight_decay)
+
+
+def _dedup_rows(ids_flat: jnp.ndarray, grads_flat: jnp.ndarray, spare_row: int):
+    """Combine duplicate ids; return (rows, grads, is_active) of length N.
+
+    Active slots carry a unique real id with its summed gradient; inactive
+    slots point at ``spare_row`` with zero gradient.
+    """
+    n = ids_flat.shape[0]
+    valid = ids_flat != 0                               # padding id never updates
+    sort_key = jnp.where(valid, ids_flat, jnp.int32(2**30))
+    order = jnp.argsort(sort_key)
+    sids = sort_key[order]
+    sg = grads_flat[order]
+    first = jnp.concatenate([jnp.ones(1, bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(first) - 1
+    gsum = jax.ops.segment_sum(sg, seg, num_segments=n)
+    active = first & (sids < 2**30)
+    rows = jnp.where(active, sids, spare_row)
+    grads = jnp.where(active[:, None], gsum[seg], 0.0)
+    return rows, grads, active
+
+
+def rowwise_adam_update(table, mu, nu, rows, grads, lr, t, b1, b2, eps, wd):
+    """Adam on the given rows only (global-step bias correction)."""
+    p_rows = table[rows]
+    mu_rows = mu[rows]
+    nu_rows = nu[rows]
+    mu_new = b1 * mu_rows + (1 - b1) * grads
+    nu_new = b2 * nu_rows + (1 - b2) * grads * grads
+    t = t.astype(jnp.float32)
+    mhat = mu_new / (1 - b1**t)
+    vhat = nu_new / (1 - b2**t)
+    delta = lr * (mhat / (jnp.sqrt(vhat) + eps) + wd * p_rows)
+    return (
+        table.at[rows].set(p_rows - delta),
+        mu.at[rows].set(mu_new),
+        nu.at[rows].set(nu_new),
+    )
+
+
+def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config):
+    """Chunked (lax.scan) train fn with rowwise embedding updates.
+
+    Signature matches the dense chunked fn: (state, hist, int_mat,
+    float_mat, idx_chunk) -> (state, hist, last_loss).
+    """
+    from ..data.packed_dataset import unpack_batch
+
+    hp = cfg.train_hparams
+    sched = hold_cosine_floor(hp.lr, hp.min_lr, hp.lr_milestones)
+    dense_tx = make_dense_tx(cfg)
+    schema = model.schema
+    table_vocab = dict(model.tables)        # table -> (vocab, dim)
+    spare = {t: padded_vocab(v) - 1 for t, (v, d) in table_vocab.items()}
+    large = _large_tables(model.tables)
+
+    def run(state: SparseTrainState, hist: AucHist, int_mat, float_mat, idx_chunk):
+        ones = jnp.ones(batch_size, jnp.float32)
+
+        def body(carry, idx):
+            state, hist = carry
+            im = jnp.take(int_mat, idx, axis=0)
+            fm = jnp.take(float_mat, idx, axis=0)
+            batch = unpack_batch(im, fm, ones, layout_key)
+
+            inner = state.params["params"]
+            tables = inner["embedder"]
+            dense = {k: v for k, v in inner.items() if k != "embedder"}
+            small = {k: v for k, v in tables.items() if k not in large}
+
+            # gather LARGE-table rows per feature (outside differentiation)
+            rows_in = {}
+            for spec in schema.specs:
+                if spec.kind in (SPARSE, ARRAY) and spec.table in large:
+                    rows_in[spec.name] = jnp.take(tables[spec.table], batch[spec.name], axis=0)
+
+            labels = batch["label"][:, 0]
+            weights = batch.get("_valid", ones)
+
+            def loss_from(dense_params, small_tbls, rows):
+                fields = []
+                for spec in schema.specs:
+                    if spec.kind == DENSE:
+                        fields.append(batch[spec.name].astype(jnp.float32)[:, None])
+                        continue
+                    ids = batch[spec.name]
+                    if spec.table in large:
+                        r = rows[spec.name]
+                    else:  # small table: differentiate the gather directly
+                        r = jnp.take(small_tbls[spec.table], ids, axis=0)
+                    r = r * (ids != 0).astype(jnp.float32)[..., None]
+                    if spec.kind == ARRAY:
+                        mask = batch.get(f"{spec.name}_mask")
+                        if mask is None:
+                            mask = (ids != 0)
+                        m = mask.astype(jnp.float32)[..., None]
+                        r = (r * m).sum(axis=1) / (m.sum(axis=1) + EPS_POOL)
+                    fields.append(r)
+                full = {"params": {**dense_params,
+                                   "embedder": jax.tree.map(jax.lax.stop_gradient, tables)}}
+                logits = model.apply(full, fields, method=model.forward_from_fields)
+                per_ex = optax.sigmoid_binary_cross_entropy(logits, labels)
+                loss = (per_ex * weights).sum() / jnp.maximum(weights.sum(), 1.0)
+                return loss, logits
+
+            (loss, logits), (dense_g, small_g, row_g) = jax.value_and_grad(
+                loss_from, argnums=(0, 1, 2), has_aux=True
+            )(dense, small, rows_in)
+
+            # ---- dense params + small tables: exact AdamW
+            combined = {"dense": dense, "small": small}
+            updates, dense_opt = dense_tx.update(
+                {"dense": dense_g, "small": small_g}, state.dense_opt, combined)
+            combined = optax.apply_updates(combined, updates)
+            dense, small = combined["dense"], combined["small"]
+
+            # ---- large embedding tables: rowwise Adam over touched unique rows
+            step1 = state.step + 1
+            lr_t = sched(state.step)
+            per_table: Dict[str, list] = {}
+            for spec in schema.specs:
+                if spec.kind not in (SPARSE, ARRAY) or spec.table not in large:
+                    continue
+                ids = batch[spec.name].reshape(-1)
+                g = row_g[spec.name].reshape(-1, row_g[spec.name].shape[-1])
+                per_table.setdefault(spec.table, []).append((ids, g))
+
+            new_tables, new_mu, new_nu = dict(tables), dict(state.emb_mu), dict(state.emb_nu)
+            new_tables.update(small)
+            for tname, pairs in per_table.items():
+                ids_all = jnp.concatenate([p[0] for p in pairs])
+                g_all = jnp.concatenate([p[1] for p in pairs])
+                rows, grads, _ = _dedup_rows(ids_all, g_all, spare[tname])
+                new_tables[tname], new_mu[tname], new_nu[tname] = rowwise_adam_update(
+                    tables[tname], state.emb_mu[tname], state.emb_nu[tname],
+                    rows, grads, lr_t, step1, hp.b1, hp.b2, 1e-8, hp.weight_decay,
+                )
+
+            params = {"params": {**dense, "embedder": new_tables}}
+            state = SparseTrainState(params=params, dense_opt=dense_opt,
+                                     emb_mu=new_mu, emb_nu=new_nu, step=step1)
+            probs = jax.nn.sigmoid(logits)
+            hist = binned_auc_update(hist, probs, labels, weights)
+            return (state, hist), loss
+
+        (state, hist), losses = jax.lax.scan(body, (state, hist), idx_chunk)
+        return state, hist, losses[-1]
+
+    return jax.jit(run, donate_argnums=(0, 1))

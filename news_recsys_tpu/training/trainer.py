@@ -118,6 +118,96 @@ def make_train_step(model, mesh):
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def make_packed_train_step(model, layout_key):
+    """Train step over matrix-packed batches: the feature dict is
+    reconstructed on device inside jit (see BatchPacker)."""
+    from ..data.packed_dataset import unpack_batch
+
+    def step(state: TrainState, hist: AucHist, int_mat, float_mat, valid):
+        batch = unpack_batch(int_mat, float_mat, valid, layout_key)
+        (loss, aux), grads = jax.value_and_grad(
+            partial(loss_fn, model), has_aux=True
+        )(state.params, batch)
+        state = state.apply_gradients(grads=grads)
+        probs = jax.nn.sigmoid(aux["logits"])
+        hist = binned_auc_update(hist, probs, aux["labels"], aux["weights"])
+        return state, hist, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_chunked_train_fn(model, layout_key, batch_size: int):
+    """One dispatch per CHUNK of train steps: the whole packed dataset lives
+    in HBM; each scan iteration gathers its batch rows on device. Kills both
+    per-step host->device transfer latency and per-step dispatch overhead
+    (the dominant costs once the step itself is ~0.3 ms)."""
+    from ..data.packed_dataset import unpack_batch
+
+    def run(state: TrainState, hist: AucHist, int_mat, float_mat, idx_chunk):
+        ones = jnp.ones(batch_size, jnp.float32)
+
+        def body(carry, idx):
+            state, hist = carry
+            im = jnp.take(int_mat, idx, axis=0)
+            fm = jnp.take(float_mat, idx, axis=0)
+            batch = unpack_batch(im, fm, ones, layout_key)
+            (loss, aux), grads = jax.value_and_grad(
+                partial(loss_fn, model), has_aux=True
+            )(state.params, batch)
+            state = state.apply_gradients(grads=grads)
+            probs = jax.nn.sigmoid(aux["logits"])
+            hist = binned_auc_update(hist, probs, aux["labels"], aux["weights"])
+            return (state, hist), loss
+
+        (state, hist), losses = jax.lax.scan(body, (state, hist), idx_chunk)
+        return state, hist, losses[-1]
+
+    return jax.jit(run, donate_argnums=(0, 1))
+
+
+def make_chunked_eval_fn(model, layout_key, batch_size: int):
+    from ..data.packed_dataset import unpack_batch
+
+    def run(params, int_mat, float_mat, idx_chunk):
+        ones = jnp.ones(batch_size, jnp.float32)
+
+        def body(_, idx):
+            im = jnp.take(int_mat, idx, axis=0)
+            fm = jnp.take(float_mat, idx, axis=0)
+            batch = unpack_batch(im, fm, ones, layout_key)
+            return None, jax.nn.sigmoid(model.apply(params, batch))
+
+        _, scores = jax.lax.scan(body, None, idx_chunk)
+        return scores.reshape(-1)
+
+    return jax.jit(run)
+
+
+def _prefetch_to_device(host_iter, mesh, depth: int = 3):
+    """Background-thread pipeline: host row-gather + (async) device_put run
+    ahead of the training loop, overlapping input with device compute."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+    END = object()
+
+    def producer():
+        try:
+            for tup in host_iter:
+                q.put(tuple(shard_batch(x, mesh) for x in tup))
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            break
+        yield item
+
+
 def make_eval_step(model):
     def step(params, batch):
         logits = model.apply(params, batch)
@@ -155,9 +245,19 @@ class Trainer:
 
     # -- setup ---------------------------------------------------------------
 
-    def init_state(self, sample_batch: Dict[str, np.ndarray], seed: Optional[int] = None) -> TrainState:
+    @property
+    def sparse_embeddings(self) -> bool:
+        return self.cfg.train_hparams.embedding_optimizer == "sparse_adamw"
+
+    def init_state(self, sample_batch: Dict[str, np.ndarray], seed: Optional[int] = None):
         seed = self.cfg.train_hparams.seed if seed is None else seed
         params = self.model.init(jax.random.PRNGKey(seed), jax.device_put(sample_batch))
+        if self.sparse_embeddings:
+            from .sparse_step import init_sparse_state, make_dense_tx
+            state = init_sparse_state(params, self.cfg, make_dense_tx(self.cfg),
+                                      self.model.tables)
+            self._write_model_info(state)
+            return state
         tx = make_optimizer(self.cfg)
         state = TrainState.create(apply_fn=self.model.apply, params=params, tx=tx)
         if self.mesh is not None:
@@ -187,6 +287,65 @@ class Trainer:
 
     # -- training ------------------------------------------------------------
 
+    DEVICE_RESIDENT_BYTES = 2 << 30   # datasets up to 2 GB live in HBM
+    CHUNK_STEPS = 100                  # train steps fused per dispatch
+
+    def _packer(self, ds: PackedDataset):
+        from ..data.packed_dataset import BatchPacker
+        if not hasattr(ds, "_packer_cache"):
+            ds._packer_cache = BatchPacker(ds)
+        return ds._packer_cache
+
+    def _device_matrices(self, packer):
+        """Upload the packed dataset to HBM once (cached on the packer)."""
+        if not hasattr(packer, "_dev_mats"):
+            packer._dev_mats = (jax.device_put(packer.int_mat),
+                                jax.device_put(packer.float_mat))
+        return packer._dev_mats
+
+    def _use_device_resident(self, packer) -> bool:
+        return (self.mesh is None and
+                packer.int_mat.nbytes + packer.float_mat.nbytes <= self.DEVICE_RESIDENT_BYTES)
+
+    def _chunked_step(self, layout_key, batch_size):
+        if not hasattr(self, "_chunked_steps"):
+            self._chunked_steps = {}
+        key = (layout_key, batch_size)
+        if key not in self._chunked_steps:
+            if self.sparse_embeddings:
+                from .sparse_step import make_sparse_chunk_fn
+                self._chunked_steps[key] = make_sparse_chunk_fn(
+                    self.model, layout_key, batch_size, self.cfg)
+            else:
+                self._chunked_steps[key] = make_chunked_train_fn(self.model, layout_key, batch_size)
+        return self._chunked_steps[key]
+
+    def _chunked_eval_fn(self, layout_key, batch_size):
+        if not hasattr(self, "_chunked_evals"):
+            self._chunked_evals = {}
+        key = (layout_key, batch_size)
+        if key not in self._chunked_evals:
+            self._chunked_evals[key] = make_chunked_eval_fn(self.model, layout_key, batch_size)
+        return self._chunked_evals[key]
+
+    def _packed_step(self, layout_key):
+        if not hasattr(self, "_packed_steps"):
+            self._packed_steps = {}
+        if layout_key not in self._packed_steps:
+            self._packed_steps[layout_key] = make_packed_train_step(self.model, layout_key)
+        return self._packed_steps[layout_key]
+
+    def _packed_eval(self, layout_key):
+        from ..data.packed_dataset import unpack_batch
+        if not hasattr(self, "_packed_evals"):
+            self._packed_evals = {}
+        if layout_key not in self._packed_evals:
+            def step(params, int_mat, float_mat, valid):
+                batch = unpack_batch(int_mat, float_mat, valid, layout_key)
+                return jax.nn.sigmoid(self.model.apply(params, batch))
+            self._packed_evals[layout_key] = jax.jit(step)
+        return self._packed_evals[layout_key]
+
     def train_epoch(self, state: TrainState, ds: PackedDataset, epoch: int) -> Tuple[TrainState, Dict[str, float]]:
         hp = self.cfg.train_hparams
         hist = AucHist.zeros()
@@ -197,28 +356,61 @@ class Trainer:
         profiling = self.profile_steps > 0 and epoch == 0
         if profiling:
             jax.profiler.start_trace(os.path.join(self.log_dir, "profile"))
-        for batch in iterate_batches(ds, self.cfg.dataset.batch_size, shuffle=True,
-                                     seed=self.cfg.dataset.shuffle_seed, epoch=epoch):
-            if self.global_step >= hp.max_step:
-                break
-            batch = shard_batch(batch, self.mesh)
-            state, hist, last_loss = self.train_step(state, hist, batch)
-            self.global_step += 1
-            if profiling and n_steps + 1 >= self.profile_steps:
-                jax.block_until_ready(last_loss)
-                jax.profiler.stop_trace()
-                profiling = False
-                logger.info(f"Profiler trace: {os.path.join(self.log_dir, 'profile')}")
-            n_steps += 1
-            n_examples += self.cfg.dataset.batch_size
-            if n_steps % hp.log_every_n_steps == 0:
-                loss_sum += float(last_loss)  # occasional host sync only
+        packer = self._packer(ds)
+        bs = self.cfg.dataset.batch_size
+        if self._use_device_resident(packer):
+            # Device-resident path: dataset in HBM, CHUNK_STEPS steps per
+            # dispatch via lax.scan; same permutation as the streaming path.
+            int_dev, float_dev = self._device_matrices(packer)
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.cfg.dataset.shuffle_seed, epoch]))
+            order = rng.permutation(packer.n)
+            nb = packer.n // bs
+            nb = min(nb, hp.max_step - self.global_step)
+            idx_all = order[: nb * bs].reshape(nb, bs).astype(np.int32)
+            run = self._chunked_step(packer.layout_key(), bs)
+            pos = 0
+            while pos < nb:
+                c = min(self.CHUNK_STEPS, nb - pos)
+                state, hist, last_loss = run(state, hist, int_dev, float_dev,
+                                             jax.device_put(idx_all[pos : pos + c]))
+                pos += c
+                self.global_step += c
+                n_steps += c
+                n_examples += c * bs
+            loss_sum = float(last_loss) if last_loss is not None else 0.0
+        elif self.sparse_embeddings:
+            raise NotImplementedError(
+                "embedding_optimizer=sparse_adamw requires the device-resident "
+                "path (dataset <= DEVICE_RESIDENT_BYTES, single-device mesh)."
+            )
+        else:
+            step_fn = self._packed_step(packer.layout_key())
+            host_iter = packer.iterate(bs, shuffle=True,
+                                       seed=self.cfg.dataset.shuffle_seed, epoch=epoch)
+            for int_mat, float_mat, valid in _prefetch_to_device(host_iter, self.mesh):
+                if self.global_step >= hp.max_step:
+                    break
+                state, hist, last_loss = step_fn(state, hist, int_mat, float_mat, valid)
+                self.global_step += 1
+                if profiling and n_steps + 1 >= self.profile_steps:
+                    jax.block_until_ready(last_loss)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info(f"Profiler trace: {os.path.join(self.log_dir, 'profile')}")
+                n_steps += 1
+                n_examples += bs
+                if n_steps % hp.log_every_n_steps == 0:
+                    loss_sum += float(last_loss)  # occasional host sync only
         if profiling:
             jax.profiler.stop_trace()
+        # device_get forces true completion (block_until_ready does not
+        # reliably block through remote-tunnel backends)
+        loss_val = float(jax.device_get(last_loss)) if last_loss is not None else float("nan")
         dt = time.perf_counter() - t0
         train_auc = float(binned_auc_value(hist))
         metrics = {
-            "train_loss": float(last_loss) if last_loss is not None else float("nan"),
+            "train_loss": loss_val,
             "train_auc": train_auc,
             "examples_per_sec": n_examples / max(dt, 1e-9),
             "steps": n_steps,
@@ -238,14 +430,31 @@ class Trainer:
     # -- validation ----------------------------------------------------------
 
     def predict(self, params, ds: PackedDataset, batch_size: Optional[int] = None):
-        """Scores for every row of ``ds`` in order."""
+        """Scores for every row of ``ds`` in order (packed fast path)."""
         bs = batch_size or self.cfg.dataset.eval_batch_size or self.cfg.dataset.batch_size
+        packer = self._packer(ds)
+        if self._use_device_resident(packer):
+            int_dev, float_dev = self._device_matrices(packer)
+            nb = (packer.n + bs - 1) // bs
+            idx = np.arange(nb * bs, dtype=np.int32)
+            idx[packer.n :] = packer.n - 1                     # tail padding
+            run = self._chunked_eval_fn(packer.layout_key(), bs)
+            scores = []
+            pos = 0
+            while pos < nb:
+                c = min(self.CHUNK_STEPS, nb - pos)
+                chunk = idx[pos * bs : (pos + c) * bs].reshape(c, bs)
+                scores.append(np.asarray(run(params, int_dev, float_dev,
+                                             jax.device_put(chunk))))
+                pos += c
+            return np.concatenate(scores)[: packer.n]
+        eval_fn = self._packed_eval(packer.layout_key())
         scores, valids = [], []
-        for batch in iterate_batches(ds, bs, shuffle=False):
-            b = shard_batch(batch, self.mesh)
-            s = self.eval_step(params, b)
+        host_iter = packer.iterate(bs, shuffle=False, drop_last=False)
+        for int_mat, float_mat, valid in _prefetch_to_device(host_iter, self.mesh):
+            s = eval_fn(params, int_mat, float_mat, valid)
             scores.append(np.asarray(s))
-            valids.append(batch["_valid"])
+            valids.append(np.asarray(valid))
         scores = np.concatenate(scores)
         valid = np.concatenate(valids) > 0
         return scores[valid][: len(ds)]
@@ -296,31 +505,22 @@ class Trainer:
         logger.info(f"Restored checkpoint at step {self.global_step}")
         return state, True
 
-    def save_checkpoint(self, state: TrainState, epoch: int) -> str:
+    def save_checkpoint(self, state, epoch: int) -> str:
         path = os.path.join(self.ckpt_dir, f"epoch_{epoch:03d}.msgpack")
-        host_state = jax.device_get(state)
-        blob = serialization.to_bytes({"params": host_state.params,
-                                       "opt_state": host_state.opt_state,
-                                       "step": host_state.step})
+        blob = serialization.to_bytes(jax.device_get(state))
         with open(path, "wb") as f:
             f.write(blob)
         return path
 
-    def load_checkpoint(self, state: TrainState, path: str) -> TrainState:
+    def load_checkpoint(self, state, path: str):
         """Strict restore (reference ``load_model``, ``base_model.py:531-536``)."""
         if not os.path.exists(path):
             raise FileNotFoundError(f"Checkpoint not found: {path}")
         with open(path, "rb") as f:
             blob = f.read()
-        target = {"params": jax.device_get(state.params),
-                  "opt_state": jax.device_get(state.opt_state),
-                  "step": jax.device_get(state.step)}
-        restored = serialization.from_bytes(target, blob)
-        state = state.replace(params=restored["params"],
-                              opt_state=restored["opt_state"],
-                              step=restored["step"])
-        self.global_step = int(restored["step"])
-        if self.mesh is not None:
+        state = serialization.from_bytes(jax.device_get(state), blob)
+        self.global_step = int(np.asarray(state.step))
+        if self.mesh is not None and isinstance(state, TrainState):
             state = jax.device_put(state, param_shardings_for_state(state, self.mesh))
         return state
 

@@ -1,5 +1,11 @@
 """Micro-benchmark: Pallas kernels vs XLA fallbacks on the current backend.
 
+Each op runs ITERS times inside one jitted lax.scan with a loop-carried
+perturbation of a float input (prevents loop-invariant hoisting / CSE);
+completion is forced with a scalar device_get — `block_until_ready` does not
+reliably block through remote-tunnel backends, and per-call dispatch latency
+would otherwise mask microsecond kernels.
+
 Usage: python scripts/kernel_bench.py
 """
 
@@ -13,15 +19,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+ITERS = 200
 
-def timeit(fn, *args, iters=50):
-    out = fn(*args)
-    jax.block_until_ready(out)
+
+def bench(body_fn, *args):
+    """body_fn(carry, *args) -> scalar; returns us/iter."""
+
+    @jax.jit
+    def run(*a):
+        def body(carry, _):
+            return body_fn(carry, *a), None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+        return c
+
+    float(jax.device_get(run(*args)))  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e6  # us
+    float(jax.device_get(run(*args)))
+    return (time.perf_counter() - t0) / ITERS * 1e6
 
 
 def main():
@@ -29,27 +43,49 @@ def main():
 
     rng = np.random.default_rng(0)
     print(f"backend: {jax.devices()[0].platform}")
+    eps = jnp.float32(1e-38)
 
     # --- fused lookup+pool: history pooling, wide table (B=512, L=50, 65k x 128)
     table = jnp.asarray(rng.standard_normal((65280, 128)), jnp.float32)
     ids = jnp.asarray(rng.integers(0, 65280, (512, 50)), jnp.int32)
     mask = jnp.asarray(rng.integers(0, 2, (512, 50)), jnp.float32)
-    t_pallas = timeit(jax.jit(lambda t, i, m: flp._pool_pallas(t, i, m, False)), table, ids, mask)
-    t_xla = timeit(jax.jit(flp._pool_xla), table, ids, mask)
+
+    def pool_body(impl):
+        def body(carry, table, ids, mask):
+            out = impl(table, ids, mask + carry * eps)
+            return carry + jnp.sum(out) * eps
+        return body
+
+    t_pallas = bench(pool_body(lambda t, i, m: flp._pool_pallas(t, i, m, False)), table, ids, mask)
+    t_xla = bench(pool_body(flp._pool_xla), table, ids, mask)
     print(f"lookup_pool  B=512 L=50 D=128: pallas {t_pallas:8.1f} us | xla {t_xla:8.1f} us")
 
     # --- FM second order (B=4096, F=5, D=15)
     v = jnp.asarray(rng.standard_normal((4096, 5, 15)), jnp.float32)
-    t_pallas = timeit(jax.jit(lambda v: fm_kernel._fm_pallas(v, False)), v)
-    t_xla = timeit(jax.jit(fm_kernel._fm_xla), v)
+
+    def fm_body(impl):
+        def body(carry, v):
+            out = impl(v + carry * eps)
+            return carry + jnp.sum(out) * eps
+        return body
+
+    t_pallas = bench(fm_body(lambda v: fm_kernel._fm_pallas(v, False)), v)
+    t_xla = bench(fm_body(fm_kernel._fm_xla), v)
     print(f"fm_2nd_order B=4096 F=5 D=15: pallas {t_pallas:8.1f} us | xla {t_xla:8.1f} us")
 
     # --- DCN cross stack (B=4096, D=112, NL=3)
     x0 = jnp.asarray(rng.standard_normal((4096, 112)), jnp.float32)
     ws = jnp.asarray(rng.standard_normal((3, 112)) * 0.1, jnp.float32)
     bs = jnp.asarray(rng.standard_normal((3, 112)) * 0.1, jnp.float32)
-    t_pallas = timeit(jax.jit(lambda a, b, c: dcn_kernel._cross_pallas(a, b, c, False)[0]), x0, ws, bs)
-    t_xla = timeit(jax.jit(lambda a, b, c: dcn_kernel._cross_xla(a, b, c)[0]), x0, ws, bs)
+
+    def dcn_body(impl):
+        def body(carry, x0, ws, bs):
+            out = impl(x0 + carry * eps, ws, bs)[0]
+            return carry + jnp.sum(out) * eps
+        return body
+
+    t_pallas = bench(dcn_body(lambda a, b, c: dcn_kernel._cross_pallas(a, b, c, False)), x0, ws, bs)
+    t_xla = bench(dcn_body(dcn_kernel._cross_xla), x0, ws, bs)
     print(f"dcn_cross    B=4096 D=112x3 : pallas {t_pallas:8.1f} us | xla {t_xla:8.1f} us")
 
 

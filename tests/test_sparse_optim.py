@@ -1,0 +1,116 @@
+"""Sparse (rowwise) embedding optimizer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from news_recsys_tpu.config import config_from_dict
+from news_recsys_tpu.data.packed_dataset import PackedDataset
+from news_recsys_tpu.models.rankers import build_ranker
+from news_recsys_tpu.training.sparse_step import _dedup_rows, rowwise_adam_update
+from news_recsys_tpu.training.trainer import Trainer
+
+FEATS = ["user_id", "item_id", "category"]
+
+
+def make_cfg(sparse: bool, lr=5e-3):
+    return config_from_dict({
+        "name": "deep",
+        "features": {"sparse_feature_names": FEATS,
+                     "item_feature_names": ["item_id", "category"],
+                     "user_feature_names": ["user_id"]},
+        "embeddings": {"embedding_size": {k: 16 for k in FEATS},
+                       "embedding_table_size": {"user_id": 200, "item_id": 300, "category": 20}},
+        "dataset": {"batch_size": 64},
+        "train_hparams": {"max_epoch": 3, "lr": lr, "min_lr": 1e-3,
+                          "lr_milestones": [200, 600], "max_step": 100000,
+                          "embedding_optimizer": "sparse_adamw" if sparse else "adamw"},
+    })
+
+
+def make_ds(n=2048, seed=0, n_users=200, n_items=300):
+    rng = np.random.default_rng(seed)
+    users = rng.integers(1, n_users, n).astype(np.int32)
+    items = rng.integers(1, n_items, n).astype(np.int32)
+    cats = (items % 19 + 1).astype(np.int32)
+    # signal: click iff user and item parity match
+    labels = ((users % 2) == (items % 2)).astype(np.float32)
+    noise = rng.random(n) < 0.1
+    labels = np.where(noise, 1 - labels, labels)
+    return PackedDataset({"user_id": users, "item_id": items, "category": cats,
+                          "label": labels.reshape(-1, 1)})
+
+
+def test_dedup_rows():
+    ids = jnp.asarray([5, 3, 5, 0, 3, 7], jnp.int32)
+    grads = jnp.arange(6, dtype=jnp.float32).reshape(6, 1)
+    rows, g, active = _dedup_rows(ids, grads, spare_row=99)
+    rows, g, active = np.asarray(rows), np.asarray(g), np.asarray(active)
+    out = {int(r): float(v) for r, v, a in zip(rows, g[:, 0], active) if a}
+    assert out == {3: 1.0 + 4.0, 5: 0.0 + 2.0, 7: 5.0}
+    # id 0 (padding) excluded; inactive slots point at spare
+    assert set(rows[~active]) == {99}
+    assert np.allclose(g[~active], 0.0)
+
+
+def test_rowwise_adam_matches_dense_adam_on_touched_rows():
+    """For rows touched at every step, rowwise Adam == dense Adam."""
+    rng = np.random.default_rng(0)
+    V, D = 16, 4
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    mu = jnp.zeros((V, D)); nu = jnp.zeros((V, D))
+    import optax
+    tx = optax.adamw(1e-2, b1=0.9, b2=0.999, weight_decay=0.01)
+    opt = tx.init(table)
+    dense_p = table
+    rows = jnp.arange(V, dtype=jnp.int32)  # touch everything each step
+    for t in range(1, 6):
+        g = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+        table, mu, nu = rowwise_adam_update(table, mu, nu, rows, g,
+                                            lr=1e-2, t=jnp.int32(t),
+                                            b1=0.9, b2=0.999, eps=1e-8, wd=0.01)
+        upd, opt = tx.update(g, opt, dense_p)
+        dense_p = optax.apply_updates(dense_p, upd)
+    np.testing.assert_allclose(np.asarray(table), np.asarray(dense_p), rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_trainer_learns_comparably(tmp_path):
+    ds = make_ds()
+    results = {}
+    for mode in ("dense", "sparse"):
+        cfg = make_cfg(sparse=(mode == "sparse"))
+        model = build_ranker(cfg, "deep")
+        tr = Trainer(cfg, model, workdir=str(tmp_path / mode), use_mesh=False)
+        state = tr.fit(ds, max_epochs=12)
+        scores = tr.predict(state.params, ds)
+        labels = ds.arrays["label"][:, 0]
+        from news_recsys_tpu.training.metrics import pooled_auc
+        results[mode] = pooled_auc(labels, scores)
+    assert results["sparse"] > 0.75, results
+    assert abs(results["sparse"] - results["dense"]) < 0.1, results
+
+
+@pytest.mark.parametrize("name", ["lr", "widedeep", "dcn"])
+def test_sparse_all_rankers_smoke(tmp_path, name):
+    cfg = make_cfg(sparse=True)
+    if name == "widedeep":
+        cfg = config_from_dict({**{
+            "name": name}, **{k: v for k, v in {
+                "features": {"sparse_feature_names": FEATS,
+                             "item_feature_names": ["item_id", "category"],
+                             "user_feature_names": ["user_id"]},
+                "embeddings": {"embedding_size": {k: 17 for k in FEATS},
+                               "embedding_table_size": {"user_id": 200, "item_id": 300, "category": 20}},
+                "dataset": {"batch_size": 64},
+                "train_hparams": {"max_epoch": 1, "lr": 1e-3, "min_lr": 1e-4,
+                                  "lr_milestones": [100, 300], "max_step": 1000,
+                                  "embedding_optimizer": "sparse_adamw"},
+                "wide_and_deep_cfg": {"wide_feature_names": ["category"]},
+            }.items()}})
+    ds = make_ds(n=512)
+    model = build_ranker(cfg, name)
+    tr = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    state = tr.fit(ds, max_epochs=1)
+    scores = tr.predict(state.params, ds)
+    assert np.isfinite(scores).all()
