@@ -112,10 +112,17 @@ class VocabManager:
 class ExtractionContext:
     """Column-level view of one behaviors split + the global item data."""
 
-    def __init__(self, behaviors: pd.DataFrame, items: pd.DataFrame, vocab: VocabManager):
+    def __init__(self, behaviors: pd.DataFrame, items: pd.DataFrame, vocab: VocabManager,
+                 array_max_length: Optional[Dict[str, int]] = None):
         self.behaviors = behaviors          # user_id, time, history(list[int]), item_id, label
         self.items = items                  # indexed by news_id (int), NEWS_COLS columns
         self.vocab = vocab
+        self.array_max_length = dict(array_max_length or {})
+
+    def vocab_max_len(self, feature: str) -> int:
+        if feature not in self.array_max_length:
+            raise ValueError(f"array_max_length for '{feature}' missing in config")
+        return self.array_max_length[feature]
 
     def item_col(self, col: str, item_ids: pd.Series) -> pd.Series:
         """Item attribute for each id (missing ids -> 'unknown')."""
@@ -202,6 +209,61 @@ def _extract_user_click_category(ctx: ExtractionContext) -> np.ndarray:
     return out
 
 
+def _pad_lists(lists, max_len: int):
+    """List of int-lists -> (N, L) int32 padded + (N, L) float32 mask.
+
+    Truncation keeps the FIRST max_len entries, matching the reference
+    DataReader (``data_reader.py:101-107``).
+    """
+    n = len(lists)
+    ids = np.zeros((n, max_len), dtype=np.int32)
+    mask = np.zeros((n, max_len), dtype=np.float32)
+    for i, lst in enumerate(lists):
+        ln = min(len(lst), max_len)
+        if ln:
+            ids[i, :ln] = lst[:ln]
+            mask[i, :ln] = 1.0
+    return ids, mask
+
+
+@register_extractor("hist")
+def _extract_hist(ctx: ExtractionContext) -> Dict[str, np.ndarray]:
+    """User click-history as a padded item-id sequence (array feature).
+
+    Shares the item_id embedding table via ``share_emb_table_features:
+    {hist: item_id}``. New capability beyond the reference's extractors (its
+    array-feature machinery existed but no extractor emitted one).
+    """
+    max_len = int(ctx.vocab_max_len("hist"))
+    ids, mask = _pad_lists(ctx.behaviors["history"].tolist(), max_len)
+    return {"hist": ids, "hist_mask": mask}
+
+
+@register_extractor("entities")
+def _extract_entities(ctx: ExtractionContext) -> Dict[str, np.ndarray]:
+    """Candidate item's title entities (WikidataId) as an array feature.
+
+    Parses the MIND ``title_entities`` JSON column; ids auto-vocab from 1.
+    """
+    max_len = int(ctx.vocab_max_len("entities"))
+    ent_json = ctx.item_col("title_entities", ctx.behaviors["item_id"])
+    lists = []
+    stream = []
+    for raw in ent_json:
+        try:
+            ents = json.loads(raw) if raw and raw not in ("[]", "unknown") else []
+        except Exception:
+            ents = []
+        wids = [e.get("WikidataId") for e in ents if isinstance(e, dict) and e.get("WikidataId")]
+        lists.append(wids)
+        stream.extend(wids)
+    ctx.vocab.bulk_assign("entities", stream)
+    vmap = ctx.vocab.val2idx[ctx.vocab._target("entities")]
+    id_lists = [[vmap[w] for w in wids] for wids in lists]
+    ids, mask = _pad_lists(id_lists, max_len)
+    return {"entities": ids, "entities_mask": mask}
+
+
 # Label extractor: reference default = [click label] (feature_extractor.py:60-61)
 def default_label_extractor(ctx: ExtractionContext) -> np.ndarray:
     return ctx.behaviors["label"].to_numpy(dtype=np.float32).reshape(-1, 1)
@@ -256,7 +318,8 @@ class FeatureExtractionPipeline:
 
     def _extract_split(self, behaviors: pd.DataFrame, items: pd.DataFrame,
                        names: List[str], with_label: bool) -> Dict[str, np.ndarray]:
-        ctx = ExtractionContext(behaviors, items, self.vocab)
+        ctx = ExtractionContext(behaviors, items, self.vocab,
+                                self.cfg.features.array_max_length)
         out: Dict[str, np.ndarray] = {}
         for name in names:
             if name not in EXTRACTORS:
@@ -264,7 +327,11 @@ class FeatureExtractionPipeline:
                     f"No extractor registered for feature '{name}'. "
                     f"Register one with @register_extractor({name!r})."
                 )
-            out[name] = EXTRACTORS[name](ctx)
+            result = EXTRACTORS[name](ctx)
+            if isinstance(result, dict):    # array extractors: ids + mask
+                out.update(result)
+            else:
+                out[name] = result
         if with_label:
             out["label"] = self.label_extractor(ctx)
         return out

@@ -87,7 +87,7 @@ def process_all_news(data_root: str, subsets, output_path: str, news_map: Dict[s
     full = full.drop_duplicates(subset=["news_id"])
     full["news_id"] = strict_map_series(full["news_id"], news_map, "news_id")
     Path(os.path.dirname(output_path)).mkdir(parents=True, exist_ok=True)
-    full.to_csv(output_path, index=False, sep="\t", header=False)
+    full.to_csv(output_path, index=False, sep="\t", header=False, quoting=3)
     return full
 
 
@@ -131,7 +131,7 @@ def process_behaviors(input_path: str, output_path: str,
     dfe = dfe.drop(columns=["impressions"])
 
     Path(os.path.dirname(output_path)).mkdir(parents=True, exist_ok=True)
-    dfe.to_csv(output_path, index=False, sep="\t", header=False)
+    dfe.to_csv(output_path, index=False, sep="\t", header=False, quoting=3)
     return dfe
 
 

@@ -41,6 +41,19 @@ def generate_mind(
     cats = rng.integers(0, len(CATEGORIES), n_news)
     subcats = cats * SUBCATS_PER_CAT + rng.integers(0, SUBCATS_PER_CAT, n_news)
 
+    # MIND-style entity annotations: a couple of Wikidata ids per item
+    n_entities = max(20, n_news // 10)
+    item_entities = [
+        [f"Q{int(e)}" for e in rng.choice(n_entities, size=int(rng.integers(0, 4)), replace=False)]
+        for _ in range(n_news)
+    ]
+
+    def ent_json(i: int) -> str:
+        return "[" + ", ".join(
+            f'{{"Label": "entity {w}", "Type": "P", "WikidataId": "{w}"}}'
+            for w in item_entities[i]
+        ) + "]"
+
     def write_news(sub: str, lo: int, hi: int):
         d = Path(root) / sub
         d.mkdir(parents=True, exist_ok=True)
@@ -48,7 +61,7 @@ def generate_mind(
             for i in range(lo, hi):
                 f.write(
                     f"{news_ids[i]}\t{CATEGORIES[cats[i]]}\tsubcat{subcats[i]}\t"
-                    f"Title of item {i}\tAbstract text {i}\thttps://example.com/{i}\t[]\t[]\n"
+                    f"Title of item {i}\tAbstract text {i}\thttps://example.com/{i}\t{ent_json(i)}\t[]\n"
                 )
 
     # train sees the first 90%, dev all (so dev has some train-unseen news)

@@ -24,8 +24,11 @@ def write_text_features(path, feats: Dict[str, np.ndarray], feature_names: Seque
             for name in feature_names:
                 v = feats[name][i]
                 if np.ndim(v) > 0:  # array feature -> comma-joined, no padding
-                    length_key = f"{name}_len"
-                    ln = int(feats[length_key][i]) if length_key in feats else len(v)
+                    mask_key = f"{name}_mask"
+                    if mask_key in feats:
+                        ln = int(feats[mask_key][i].sum())
+                    else:
+                        ln = len(v)
                     parts.append(f"{name}:{','.join(str(int(x)) for x in v[:ln])}")
                 elif isinstance(v, (np.floating, float)) and not float(v).is_integer():
                     parts.append(f"{name}:{v}")

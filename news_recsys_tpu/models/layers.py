@@ -81,7 +81,8 @@ class MultiHeadSelfAttention(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        """mask: optional (B, N) validity mask over keys (1 = attend)."""
         assert self.embed_dim % self.num_heads == 0
         head_dim = self.embed_dim // self.num_heads
         B, N, C = x.shape
@@ -94,6 +95,8 @@ class MultiHeadSelfAttention(nn.Module):
         scores = jnp.einsum(
             "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.asarray(head_dim, dtype=x.dtype))
+        if mask is not None:
+            scores = jnp.where(mask[:, None, None, :] > 0, scores, -1e9)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", probs, v, preferred_element_type=jnp.float32)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C).astype(x.dtype)
@@ -109,8 +112,8 @@ class TransformerBlock(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        attn = MultiHeadSelfAttention(self.embed_dim, self.num_heads)(x)
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        attn = MultiHeadSelfAttention(self.embed_dim, self.num_heads)(x, mask)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm()(x + attn)
         ffn = Linear(self.ff_dim)(x)

@@ -216,7 +216,10 @@ def build_ranker(cfg: Config, name: str | None = None) -> RankerBase:
             cross_layers=int(dcn.get("num_layers", 3)),
             cross_version=int(dcn.get("version", 1)),
         )
+    if name == "attention":
+        from .seq_ranker import build_attention_ranker
+        return build_attention_ranker(cfg)
     raise ValueError(f"Unknown ranker: {name!r}")
 
 
-RANKER_NAMES = ("lr", "deep", "widedeep", "fm", "dcn")
+RANKER_NAMES = ("lr", "deep", "widedeep", "fm", "dcn", "attention")

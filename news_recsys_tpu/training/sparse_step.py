@@ -130,6 +130,11 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config):
     """
     from ..data.packed_dataset import unpack_batch
 
+    if not hasattr(model, "forward_from_fields") or not hasattr(model, "schema"):
+        raise NotImplementedError(
+            f"{type(model).__name__} does not factor as forward_from_fields; "
+            "use embedding_optimizer=adamw for this model."
+        )
     hp = cfg.train_hparams
     sched = hold_cosine_floor(hp.lr, hp.min_lr, hp.lr_milestones)
     dense_tx = make_dense_tx(cfg)
