@@ -459,12 +459,18 @@ class Trainer:
         valid = np.concatenate(valids) > 0
         return scores[valid][: len(ds)]
 
+    DEVICE_METRICS_MIN_ROWS = 200_000
+
     def validate(self, state: TrainState, ds: PackedDataset, epoch: int,
                  warm_user_set: Optional[Set[int]] = None) -> Dict[str, Dict[str, float]]:
         scores = self.predict(state.params, ds)
         uids = ds.arrays["user_id"]
         labels = ds.arrays["label"][:, 0]
-        results = compute_user_metrics(uids, scores, labels, warm_user_set)
+        if len(ds) >= self.DEVICE_METRICS_MIN_ROWS and self.mesh is None:
+            from .metrics_device import compute_user_metrics_device
+            results = compute_user_metrics_device(uids, scores, labels, warm_user_set)
+        else:
+            results = compute_user_metrics(uids, scores, labels, warm_user_set)
         block = format_validation_block(results, epoch)
         print(block)
         with open(self.val_log_path, "a") as f:
