@@ -82,7 +82,24 @@ class DSSMTrainer:
                 if self.global_step >= hp.max_step:
                     break
             logger.info(f"dssm epoch {epoch}: loss={float(last):.4f}")
+            self.save_checkpoint(state, epoch)
         return state
+
+    def save_checkpoint(self, state: TrainState, epoch: int) -> str:
+        """Weight-only per-epoch checkpoints, full history (the reference's
+        ModelCheckpoint(save_top_k=-1, save_weights_only=True),
+        ``DSSM/train.py:54-60``)."""
+        from flax import serialization
+        path = os.path.join(self.ckpt_dir, f"epoch_{epoch:03d}.msgpack")
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(state.params)))
+        return path
+
+    def load_params(self, state: TrainState, path: str):
+        from flax import serialization
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(jax.device_get(state.params), f.read())
+        return state.replace(params=restored)
 
     # -- encoding ------------------------------------------------------------
 

@@ -284,6 +284,13 @@ class Trainer:
     def _log_scalars(self, step: int, **scalars) -> None:
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps({"step": step, **scalars}) + "\n")
+        if not hasattr(self, "_tb"):
+            from ..utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(self.log_dir)
+        for key, val in scalars.items():
+            if isinstance(val, (int, float)) and val == val:
+                self._tb.add_scalar(key, float(val), step)
+        self._tb.flush()
 
     # -- training ------------------------------------------------------------
 
