@@ -110,7 +110,8 @@ def triplet_loss(user_emb, pos_item_emb, neg_item_emb, margin: float = 1.0,
 
 
 def dssm_train_loss(model: DSSM, params, rng, batch, negative_sample_rate: int = 3,
-                    temperature: float = 0.1) -> jnp.ndarray:
+                    temperature: float = 0.1, loss_type: str = "infonce",
+                    margin: float = 1.0) -> jnp.ndarray:
     user_emb, item_emb = model.apply(params, batch)
     neg = sample_in_batch_negatives(rng, item_emb, negative_sample_rate)
     user_emb = _l2(user_emb)
@@ -118,4 +119,6 @@ def dssm_train_loss(model: DSSM, params, rng, batch, negative_sample_rate: int =
     neg = _l2(neg)
     # only positive (clicked) rows form training pairs; weight by validity too
     mask = batch["label"][:, 0] * batch.get("_valid", jnp.ones(user_emb.shape[0]))
+    if loss_type == "triplet":
+        return triplet_loss(user_emb, item_emb, neg, margin, mask)
     return info_nce_loss(user_emb, item_emb, neg, temperature, mask)

@@ -29,11 +29,13 @@ from .trainer import TrainState, make_optimizer
 logger = get_logger("retrieval")
 
 
-def make_dssm_train_step(model: DSSM, negative_sample_rate: int, temperature: float):
+def make_dssm_train_step(model: DSSM, negative_sample_rate: int, temperature: float,
+                         loss_type: str = "infonce", margin: float = 1.0):
     def step(state: TrainState, rng, batch):
         rng, sub = jax.random.split(rng)
         loss, grads = jax.value_and_grad(
-            lambda p: dssm_train_loss(model, p, sub, batch, negative_sample_rate, temperature)
+            lambda p: dssm_train_loss(model, p, sub, batch, negative_sample_rate,
+                                      temperature, loss_type, margin)
         )(state.params)
         state = state.apply_gradients(grads=grads)
         return state, rng, loss
@@ -42,10 +44,24 @@ def make_dssm_train_step(model: DSSM, negative_sample_rate: int, temperature: fl
 
 
 class DSSMTrainer:
-    """Two-tower trainer with per-epoch retrieval eval."""
+    """Two-tower trainer with per-epoch retrieval eval.
+
+    Hyperparameters come from the config's ``dssm_cfg`` block (the
+    reference exposes them as CLI flags, ``DSSM/train.py:11-18``):
+    ``negative_sample_rate``, ``temperature``, ``loss`` (infonce|triplet),
+    ``margin``.
+    """
 
     def __init__(self, cfg: Config, model: DSSM, workdir: Optional[str] = None,
-                 negative_sample_rate: int = 3, temperature: float = 0.1):
+                 negative_sample_rate: Optional[int] = None,
+                 temperature: Optional[float] = None):
+        dcfg = cfg.extra("dssm_cfg", {}) or {}
+        if negative_sample_rate is None:
+            negative_sample_rate = int(dcfg.get("negative_sample_rate", 3))
+        if temperature is None:
+            temperature = float(dcfg.get("temperature", 0.1))
+        loss_type = str(dcfg.get("loss", "infonce"))
+        margin = float(dcfg.get("margin", 1.0))
         self.cfg = cfg
         self.model = model
         self.negative_sample_rate = negative_sample_rate
@@ -53,7 +69,8 @@ class DSSMTrainer:
         self.log_dir = workdir or os.path.join("experiments", f"{cfg.name}_{ts}")
         self.ckpt_dir = os.path.join(self.log_dir, "ckpts")
         os.makedirs(self.ckpt_dir, exist_ok=True)
-        self.train_step = make_dssm_train_step(model, negative_sample_rate, temperature)
+        self.train_step = make_dssm_train_step(model, negative_sample_rate, temperature,
+                                               loss_type, margin)
         self.encode_user = jax.jit(partial(model.apply, method=DSSM.user_embedding))
         self.encode_item = jax.jit(partial(model.apply, method=DSSM.item_embedding))
         self.global_step = 0
