@@ -304,15 +304,36 @@ class Trainer:
         return ds._packer_cache
 
     def _device_matrices(self, packer):
-        """Upload the packed dataset to HBM once (cached on the packer)."""
-        if not hasattr(packer, "_dev_mats"):
-            packer._dev_mats = (jax.device_put(packer.int_mat),
-                                jax.device_put(packer.float_mat))
+        """Upload the packed dataset to HBM once (cached on the packer).
+
+        Under a mesh the matrices are replicated; batches become sharded
+        over 'data' because the per-chunk index arrays are sharded on their
+        batch dimension and GSPMD propagates that through the gather."""
+        cache_key = id(self.mesh)
+        if getattr(packer, "_dev_mats_key", None) != cache_key:
+            packer._dev_mats_key = cache_key
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rep = NamedSharding(self.mesh, P())
+                packer._dev_mats = (jax.device_put(packer.int_mat, rep),
+                                    jax.device_put(packer.float_mat, rep))
+            else:
+                packer._dev_mats = (jax.device_put(packer.int_mat),
+                                    jax.device_put(packer.float_mat))
         return packer._dev_mats
 
+    def _put_idx(self, idx_chunk):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.device_put(idx_chunk, NamedSharding(self.mesh, P(None, "data")))
+        return jax.device_put(idx_chunk)
+
     def _use_device_resident(self, packer) -> bool:
-        return (self.mesh is None and
-                packer.int_mat.nbytes + packer.float_mat.nbytes <= self.DEVICE_RESIDENT_BYTES)
+        if packer.int_mat.nbytes + packer.float_mat.nbytes > self.DEVICE_RESIDENT_BYTES:
+            return False
+        if self.mesh is not None and self.cfg.dataset.batch_size % self.mesh.shape["data"] != 0:
+            return False
+        return True
 
     def _chunked_step(self, layout_key, batch_size):
         if not hasattr(self, "_chunked_steps"):
@@ -380,7 +401,7 @@ class Trainer:
             while pos < nb:
                 c = min(self.CHUNK_STEPS, nb - pos)
                 state, hist, last_loss = run(state, hist, int_dev, float_dev,
-                                             jax.device_put(idx_all[pos : pos + c]))
+                                             self._put_idx(idx_all[pos : pos + c]))
                 pos += c
                 self.global_step += c
                 n_steps += c
@@ -452,7 +473,7 @@ class Trainer:
                 c = min(self.CHUNK_STEPS, nb - pos)
                 chunk = idx[pos * bs : (pos + c) * bs].reshape(c, bs)
                 scores.append(np.asarray(run(params, int_dev, float_dev,
-                                             jax.device_put(chunk))))
+                                             self._put_idx(chunk))))
                 pos += c
             return np.concatenate(scores)[: packer.n]
         eval_fn = self._packed_eval(packer.layout_key())
