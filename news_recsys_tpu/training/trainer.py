@@ -518,24 +518,27 @@ class Trainer:
             self._ckpt_mgr = CheckpointManager(os.path.join(self.ckpt_dir, "orbax"))
         return self._ckpt_mgr
 
-    def save_checkpoint_sharded(self, state: TrainState, step: int) -> None:
-        self.checkpoint_manager().save(step, {"params": state.params,
-                                              "opt_state": state.opt_state,
-                                              "step": state.step})
+    @staticmethod
+    def _state_fields(state) -> Tuple[str, ...]:
+        if hasattr(state, "opt_state"):
+            return ("params", "opt_state", "step")
+        # SparseTrainState
+        return ("params", "dense_opt", "emb_mu", "emb_nu", "step")
 
-    def restore_latest(self, state: TrainState) -> Tuple[TrainState, bool]:
+    def save_checkpoint_sharded(self, state, step: int) -> None:
+        fields = self._state_fields(state)
+        self.checkpoint_manager().save(step, {f: getattr(state, f) for f in fields})
+
+    def restore_latest(self, state) -> Tuple[TrainState, bool]:
         """Restore the newest sharded checkpoint into ``state``'s shardings;
-        returns (state, restored?)."""
+        returns (state, restored?). Works for dense and sparse states."""
         mgr = self.checkpoint_manager()
         if mgr.latest_step() is None:
             return state, False
-        restored = mgr.restore({"params": state.params,
-                                "opt_state": state.opt_state,
-                                "step": state.step})
-        state = state.replace(params=restored["params"],
-                              opt_state=restored["opt_state"],
-                              step=restored["step"])
-        self.global_step = int(state.step)
+        fields = self._state_fields(state)
+        restored = mgr.restore({f: getattr(state, f) for f in fields})
+        state = state.replace(**restored)
+        self.global_step = int(np.asarray(state.step))
         logger.info(f"Restored checkpoint at step {self.global_step}")
         return state, True
 
@@ -562,12 +565,16 @@ class Trainer:
 
     def fit(self, train_ds: PackedDataset, dev_ds: Optional[PackedDataset] = None,
             warm_user_set: Optional[Set[int]] = None, state: Optional[TrainState] = None,
-            max_epochs: Optional[int] = None) -> TrainState:
+            max_epochs: Optional[int] = None, resume: bool = False) -> TrainState:
         hp = self.cfg.train_hparams
         max_epochs = max_epochs if max_epochs is not None else hp.max_epoch
         if state is None:
             sample = next(iterate_batches(train_ds, self.cfg.dataset.batch_size, shuffle=False))
             state = self.init_state(sample)
+        if resume:
+            state, restored = self.restore_latest(state)
+            if restored:
+                logger.info(f"Resuming from step {self.global_step}")
         for epoch in range(max_epochs):
             state, _ = self.train_epoch(state, train_ds, epoch)
             if dev_ds is not None and (epoch + 1) % hp.val_freq == 0:
@@ -586,12 +593,8 @@ def param_shardings_for_state(state: TrainState, mesh):
 
     rep = NamedSharding(mesh, P())
 
-    def opt_spec(leaf):
-        # Adam moments have the same shape as their param; match by shape
-        return rep
-
-    # Build: params -> p_sh; opt_state/step -> replicated except moments that
-    # correspond to embedding tables. optax.adamw state: (ScaleByAdamState(mu, nu), ...)
+    # Build: params -> p_sh; opt_state/step -> replicated except Adam moments,
+    # which mirror their param's sharding. optax.adamw state: (ScaleByAdamState(mu, nu), ...)
     def match_like_params(opt_state):
         def map_state(s):
             if isinstance(s, (optax.ScaleByAdamState,)):

@@ -82,3 +82,39 @@ def test_resume_continues_step(tmp_path):
     assert ok and t2.global_step == step1
     s2, _ = t2.train_epoch(s2, ds, epoch=1)
     assert self_step(s2) == 2 * step1
+
+
+def test_sparse_state_sharded_roundtrip(tmp_path):
+    """Orbax save/restore + fit(resume=True) for the sparse optimizer state."""
+    import dataclasses
+    from news_recsys_tpu.config import config_from_dict
+    cfg_raw = {
+        "name": "deep",
+        "features": {"sparse_feature_names": FEATS,
+                     "item_feature_names": ["item_id"], "user_feature_names": ["user_id"]},
+        "embeddings": {"embedding_size": {k: 16 for k in FEATS},
+                       "embedding_table_size": {"user_id": 5000, "item_id": 5000}},
+        "dataset": {"batch_size": 64},
+        "train_hparams": {"max_epoch": 1, "lr": 1e-2, "min_lr": 1e-3,
+                          "lr_milestones": [100, 200], "max_step": 10000,
+                          "embedding_optimizer": "sparse_adamw"},
+    }
+    cfg = config_from_dict(cfg_raw)
+    rng = np.random.default_rng(0)
+    n = 256
+    ds = PackedDataset({
+        "user_id": rng.integers(1, 5000, n).astype(np.int32),
+        "item_id": rng.integers(1, 5000, n).astype(np.int32),
+        "label": (rng.random(n) < 0.3).astype(np.float32).reshape(-1, 1),
+    })
+    model = build_ranker(cfg, "deep")
+    t = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    s = t.fit(ds, max_epochs=1)
+    t.save_checkpoint_sharded(s, int(np.asarray(s.step)))
+    p1 = t.predict(s.params, ds)
+
+    t2 = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    s2 = t2.fit(ds, max_epochs=0, resume=True)
+    assert t2.global_step == 4
+    p2 = t2.predict(s2.params, ds)
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
