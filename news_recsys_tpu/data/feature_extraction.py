@@ -110,19 +110,45 @@ class VocabManager:
 
 
 class ExtractionContext:
-    """Column-level view of one behaviors split + the global item data."""
+    """Column-level view of one behaviors split + the global item data.
+
+    ``behaviors['history']`` is the raw space-joined id STRING (kept
+    unparsed); sequence extractors consume the vectorized exploded
+    representation from :meth:`history_exploded` — per-row Python parsing
+    of millions of histories is the pipeline's would-be hot loop.
+    """
 
     def __init__(self, behaviors: pd.DataFrame, items: pd.DataFrame, vocab: VocabManager,
                  array_max_length: Optional[Dict[str, int]] = None):
-        self.behaviors = behaviors          # user_id, time, history(list[int]), item_id, label
+        self.behaviors = behaviors          # user_id, time, history(str), item_id, label
         self.items = items                  # indexed by news_id (int), NEWS_COLS columns
         self.vocab = vocab
         self.array_max_length = dict(array_max_length or {})
+        self._hist_cache = None
 
     def vocab_max_len(self, feature: str) -> int:
         if feature not in self.array_max_length:
             raise ValueError(f"array_max_length for '{feature}' missing in config")
         return self.array_max_length[feature]
+
+    def history_exploded(self):
+        """(row_idx (M,), values (M,), lengths (N,)) — fully vectorized."""
+        if self._hist_cache is None:
+            hist = self.behaviors["history"]
+            if len(hist) and isinstance(hist.iloc[0], (list, np.ndarray)):
+                lengths = np.asarray([len(h) for h in hist], dtype=np.int64)
+                values = (np.concatenate([np.asarray(h, dtype=np.int64) for h in hist])
+                          if lengths.sum() else np.array([], dtype=np.int64))
+            else:
+                s = hist.fillna("").astype(str)
+                split = s.str.split(" ")
+                lengths = np.where(s.str.len() > 0, split.str.len(), 0).astype(np.int64)
+                exploded = split.explode()
+                exploded = exploded[exploded != ""]
+                values = pd.to_numeric(exploded, errors="raise").to_numpy(dtype=np.int64)
+            row_idx = np.repeat(np.arange(len(hist)), lengths)
+            self._hist_cache = (row_idx, values, lengths)
+        return self._hist_cache
 
     def item_col(self, col: str, item_ids: pd.Series) -> pd.Series:
         """Item attribute for each id (missing ids -> 'unknown')."""
@@ -177,35 +203,44 @@ def _extract_user_click_category(ctx: ExtractionContext) -> np.ndarray:
     the max count in history order wins — dict-insertion-order ``max``).
     """
     beh = ctx.behaviors.reset_index(drop=True)
-    hist = beh["history"]  # list[int] per row
+    row_idx, flat_news, lengths = ctx.history_exploded()
+    n_rows = len(beh)
 
-    # Exploded (row, position, news_id) in traversal order.
-    lengths = np.asarray([len(h) for h in hist], dtype=np.int64)
-    row_idx = np.repeat(np.arange(len(beh)), lengths)
-    flat_news = np.concatenate([np.asarray(h, dtype=np.int64) for h in hist]) if lengths.sum() else np.array([], dtype=np.int64)
-    cats = ctx.item_col("category", pd.Series(flat_news))
+    # Factorize category strings to int codes once (C-speed); code -1 of
+    # pd.factorize never occurs (item_col fillna's to 'unknown').
+    cat_strings = ctx.item_col("category", pd.Series(flat_news))
+    codes, code_values = pd.factorize(cat_strings, sort=False)
+    codes = codes.astype(np.int64)
+    UNKNOWN = len(code_values)  # sentinel code for empty-history rows
 
     # Vocab id assignment order: per row, history cats in order; empty rows
-    # contribute 'unknown' at their stream position. Interleave by a stable
-    # sort on row index.
-    if len(beh):
-        empty_rows = lengths == 0
-        stream_rows = np.concatenate([row_idx, np.flatnonzero(empty_rows)])
-        stream_data = np.concatenate([cats.to_numpy(dtype=object),
-                                      np.full(int(empty_rows.sum()), "unknown", dtype=object)])
-        order = np.argsort(stream_rows, kind="stable")
-        ctx.vocab.bulk_assign("user_click_category", stream_data[order])
+    # contribute 'unknown' at their stream position. Build the interleaved
+    # code stream with a stable sort on row index (all int ops), then assign
+    # vocab ids to codes in first-occurrence order.
+    empty_rows = lengths == 0
+    stream_rows = np.concatenate([row_idx, np.flatnonzero(empty_rows)])
+    stream_codes = np.concatenate([codes, np.full(int(empty_rows.sum()), UNKNOWN, dtype=np.int64)])
+    order = np.argsort(stream_rows, kind="stable")
+    stream_codes = stream_codes[order]
+    uniq_codes, first_pos = np.unique(stream_codes, return_index=True)
+    code_to_vocab = np.zeros(UNKNOWN + 1, dtype=np.int32)
+    for code in uniq_codes[np.argsort(first_pos)]:
+        val = "unknown" if code == UNKNOWN else code_values[code]
+        code_to_vocab[code] = ctx.vocab.get_idx("user_click_category", val)
 
-    cat_ids = ctx.vocab.map_values("user_click_category", cats) if len(cats) else np.array([], dtype=np.int32)
-
-    # Count per (row, cat_id); tie-break by first position in history.
-    out = np.full(len(beh), ctx.vocab.get_idx("user_click_category", "unknown"), dtype=np.int32)
-    if len(cat_ids):
-        df = pd.DataFrame({"row": row_idx, "cat": cat_ids, "pos": np.arange(len(cat_ids))})
-        grouped = df.groupby(["row", "cat"], sort=False).agg(count=("pos", "size"), first=("pos", "min")).reset_index()
-        grouped = grouped.sort_values(["row", "count", "first"], ascending=[True, False, True], kind="stable")
-        winners = grouped.drop_duplicates("row", keep="first")
-        out[winners["row"].to_numpy()] = winners["cat"].to_numpy(dtype=np.int32)
+    out = np.full(n_rows, ctx.vocab.get_idx("user_click_category", "unknown"), dtype=np.int32)
+    if len(codes):
+        # Count per (row, code); tie-break by first position in history:
+        # np.unique(return_index) gives each key's first occurrence.
+        base = UNKNOWN + 1
+        keys = row_idx * base + codes
+        uniq_keys, first_idx, counts = np.unique(keys, return_index=True, return_counts=True)
+        rows = (uniq_keys // base).astype(np.int64)
+        key_codes = (uniq_keys % base).astype(np.int64)
+        win_order = np.lexsort((first_idx, -counts, rows))
+        rows_sorted = rows[win_order]
+        is_winner = np.concatenate([[True], rows_sorted[1:] != rows_sorted[:-1]])
+        out[rows_sorted[is_winner]] = code_to_vocab[key_codes[win_order][is_winner]]
     return out
 
 
@@ -233,9 +268,19 @@ def _extract_hist(ctx: ExtractionContext) -> Dict[str, np.ndarray]:
     Shares the item_id embedding table via ``share_emb_table_features:
     {hist: item_id}``. New capability beyond the reference's extractors (its
     array-feature machinery existed but no extractor emitted one).
+    Vectorized scatter from the exploded representation; truncation keeps
+    the FIRST max_len entries (``data_reader.py:101-107``).
     """
     max_len = int(ctx.vocab_max_len("hist"))
-    ids, mask = _pad_lists(ctx.behaviors["history"].tolist(), max_len)
+    row_idx, values, lengths = ctx.history_exploded()
+    n = len(lengths)
+    ids = np.zeros((n, max_len), dtype=np.int32)
+    mask = np.zeros((n, max_len), dtype=np.float32)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    pos = np.arange(len(values)) - starts[row_idx]
+    keep = pos < max_len
+    ids[row_idx[keep], pos[keep]] = values[keep]
+    mask[row_idx[keep], pos[keep]] = 1.0
     return {"hist": ids, "hist_mask": mask}
 
 
@@ -311,9 +356,9 @@ class FeatureExtractionPipeline:
             return pd.DataFrame()
         cols = ["impression_id", "user_id", "time", "history", "item_id", "label"]
         df = pd.read_csv(path, sep="\t", names=cols, quoting=3)
-        df["history"] = df["history"].fillna("").astype(str).apply(
-            lambda s: [int(x) for x in s.split(" ")] if s else []
-        )
+        # history stays a raw string; sequence extractors use the vectorized
+        # exploded representation (ExtractionContext.history_exploded)
+        df["history"] = df["history"].fillna("").astype(str)
         return df
 
     def _extract_split(self, behaviors: pd.DataFrame, items: pd.DataFrame,

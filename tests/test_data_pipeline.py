@@ -122,7 +122,8 @@ def test_user_click_category_matches_streaming(pipeline_out):
     item_cat = items["category"].to_dict()
     for _, row in beh.iterrows():
         counts = {}
-        for nid in row["history"]:
+        hist = [int(x) for x in str(row["history"]).split(" ")] if str(row["history"]) else []
+        for nid in hist:
             cat = item_cat.get(nid, "unknown")
             idx = vocab_ref.get_idx("user_click_category", cat)
             counts[idx] = counts.get(idx, 0) + 1
