@@ -43,6 +43,35 @@ def make_dssm_train_step(model: DSSM, negative_sample_rate: int, temperature: fl
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_dssm_chunk_fn(model: DSSM, layout_key, batch_size: int,
+                       negative_sample_rate: int, temperature: float,
+                       loss_type: str = "infonce", margin: float = 1.0):
+    """Device-resident chunked (lax.scan) DSSM training — one dispatch per
+    chunk of steps, rng folded inside the scan."""
+    from ..data.packed_dataset import unpack_batch
+
+    def run(state: TrainState, rng, int_mat, float_mat, idx_chunk):
+        ones = jnp.ones(batch_size, jnp.float32)
+
+        def body(carry, idx):
+            state, rng = carry
+            rng, sub = jax.random.split(rng)
+            im = jnp.take(int_mat, idx, axis=0)
+            fm = jnp.take(float_mat, idx, axis=0)
+            batch = unpack_batch(im, fm, ones, layout_key)
+            loss, grads = jax.value_and_grad(
+                lambda p: dssm_train_loss(model, p, sub, batch, negative_sample_rate,
+                                          temperature, loss_type, margin)
+            )(state.params)
+            state = state.apply_gradients(grads=grads)
+            return (state, rng), loss
+
+        (state, rng), losses = jax.lax.scan(body, (state, rng), idx_chunk)
+        return state, rng, losses[-1]
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
 class DSSMTrainer:
     """Two-tower trainer with per-epoch retrieval eval.
 
@@ -69,6 +98,7 @@ class DSSMTrainer:
         self.log_dir = workdir or os.path.join("experiments", f"{cfg.name}_{ts}")
         self.ckpt_dir = os.path.join(self.log_dir, "ckpts")
         os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._loss_args = (negative_sample_rate, temperature, loss_type, margin)
         self.train_step = make_dssm_train_step(model, negative_sample_rate, temperature,
                                                loss_type, margin)
         self.encode_user = jax.jit(partial(model.apply, method=DSSM.user_embedding))
@@ -89,16 +119,43 @@ class DSSMTrainer:
             sample = next(iterate_batches(train_ds, self.cfg.dataset.batch_size, shuffle=False))
             state = self.init_state(sample)
         rng = jax.random.PRNGKey(hp.seed + 1)
+        bs = self.cfg.dataset.batch_size
+        from ..data.packed_dataset import BatchPacker
+        packer = getattr(train_ds, "_packer_cache", None) or BatchPacker(train_ds)
+        train_ds._packer_cache = packer
+        device_resident = (
+            len(jax.devices()) >= 1
+            and packer.int_mat.nbytes + packer.float_mat.nbytes <= (2 << 30)
+        )
+        if device_resident:
+            if not hasattr(packer, "_dssm_dev"):
+                packer._dssm_dev = (jax.device_put(packer.int_mat),
+                                    jax.device_put(packer.float_mat))
+            int_dev, float_dev = packer._dssm_dev
+            run = make_dssm_chunk_fn(self.model, packer.layout_key(), bs, *self._loss_args)
         for epoch in range(epochs):
             last = None
-            for batch in iterate_batches(train_ds, self.cfg.dataset.batch_size,
-                                         shuffle=True, seed=self.cfg.dataset.shuffle_seed,
-                                         epoch=epoch):
-                state, rng, last = self.train_step(state, rng, jax.device_put(batch))
-                self.global_step += 1
-                if self.global_step >= hp.max_step:
-                    break
-            logger.info(f"dssm epoch {epoch}: loss={float(last):.4f}")
+            if device_resident:
+                perm_rng = np.random.default_rng(
+                    np.random.SeedSequence([self.cfg.dataset.shuffle_seed, epoch]))
+                nb = min(packer.n // bs, hp.max_step - self.global_step)
+                idx_all = perm_rng.permutation(packer.n)[: nb * bs].reshape(nb, bs).astype(np.int32)
+                pos = 0
+                while pos < nb:
+                    c = min(100, nb - pos)
+                    state, rng, last = run(state, rng, int_dev, float_dev,
+                                           jax.device_put(idx_all[pos : pos + c]))
+                    pos += c
+                    self.global_step += c
+            else:
+                for batch in iterate_batches(train_ds, bs, shuffle=True,
+                                             seed=self.cfg.dataset.shuffle_seed,
+                                             epoch=epoch):
+                    state, rng, last = self.train_step(state, rng, jax.device_put(batch))
+                    self.global_step += 1
+                    if self.global_step >= hp.max_step:
+                        break
+            logger.info(f"dssm epoch {epoch}: loss={float(jax.device_get(last)):.4f}")
             self.save_checkpoint(state, epoch)
         return state
 
