@@ -118,22 +118,12 @@ def make_train_step(model, mesh):
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def make_packed_train_step(model, layout_key):
-    """Train step over matrix-packed batches: the feature dict is
-    reconstructed on device inside jit (see BatchPacker)."""
-    from ..data.packed_dataset import unpack_batch
+def make_eval_step(model):
+    def step(params, batch):
+        logits = model.apply(params, batch)
+        return jax.nn.sigmoid(logits)
 
-    def step(state: TrainState, hist: AucHist, int_mat, float_mat, valid):
-        batch = unpack_batch(int_mat, float_mat, valid, layout_key)
-        (loss, aux), grads = jax.value_and_grad(
-            partial(loss_fn, model), has_aux=True
-        )(state.params, batch)
-        state = state.apply_gradients(grads=grads)
-        probs = jax.nn.sigmoid(aux["logits"])
-        hist = binned_auc_update(hist, probs, aux["labels"], aux["weights"])
-        return state, hist, loss
-
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step)
 
 
 def make_chunked_train_fn(model, layout_key, batch_size: int):
@@ -181,39 +171,6 @@ def make_chunked_eval_fn(model, layout_key, batch_size: int):
         return scores.reshape(-1)
 
     return jax.jit(run)
-
-
-def _prefetch_to_device(host_iter, mesh, depth: int = 3):
-    """Background-thread pipeline: host row-gather + (async) device_put run
-    ahead of the training loop, overlapping input with device compute."""
-    import queue as queue_mod
-    import threading
-
-    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
-    END = object()
-
-    def producer():
-        try:
-            for tup in host_iter:
-                q.put(tuple(shard_batch(x, mesh) for x in tup))
-        finally:
-            q.put(END)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            break
-        yield item
-
-
-def make_eval_step(model):
-    def step(params, batch):
-        logits = model.apply(params, batch)
-        return jax.nn.sigmoid(logits)
-
-    return jax.jit(step)
 
 
 class Trainer:
@@ -328,6 +285,12 @@ class Trainer:
             return jax.device_put(idx_chunk, NamedSharding(self.mesh, P(None, "data")))
         return jax.device_put(idx_chunk)
 
+    def _put_replicated(self, x):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.device_put(x, NamedSharding(self.mesh, P()))
+        return jax.device_put(x)
+
     def _use_device_resident(self, packer) -> bool:
         if packer.int_mat.nbytes + packer.float_mat.nbytes > self.DEVICE_RESIDENT_BYTES:
             return False
@@ -355,24 +318,6 @@ class Trainer:
         if key not in self._chunked_evals:
             self._chunked_evals[key] = make_chunked_eval_fn(self.model, layout_key, batch_size)
         return self._chunked_evals[key]
-
-    def _packed_step(self, layout_key):
-        if not hasattr(self, "_packed_steps"):
-            self._packed_steps = {}
-        if layout_key not in self._packed_steps:
-            self._packed_steps[layout_key] = make_packed_train_step(self.model, layout_key)
-        return self._packed_steps[layout_key]
-
-    def _packed_eval(self, layout_key):
-        from ..data.packed_dataset import unpack_batch
-        if not hasattr(self, "_packed_evals"):
-            self._packed_evals = {}
-        if layout_key not in self._packed_evals:
-            def step(params, int_mat, float_mat, valid):
-                batch = unpack_batch(int_mat, float_mat, valid, layout_key)
-                return jax.nn.sigmoid(self.model.apply(params, batch))
-            self._packed_evals[layout_key] = jax.jit(step)
-        return self._packed_evals[layout_key]
 
     def train_epoch(self, state: TrainState, ds: PackedDataset, epoch: int) -> Tuple[TrainState, Dict[str, float]]:
         hp = self.cfg.train_hparams
@@ -407,29 +352,32 @@ class Trainer:
                 n_steps += c
                 n_examples += c * bs
             loss_sum = float(last_loss) if last_loss is not None else 0.0
-        elif self.sparse_embeddings:
-            raise NotImplementedError(
-                "embedding_optimizer=sparse_adamw requires the device-resident "
-                "path (dataset <= DEVICE_RESIDENT_BYTES, single-device mesh)."
-            )
         else:
-            step_fn = self._packed_step(packer.layout_key())
-            host_iter = packer.iterate(bs, shuffle=True,
-                                       seed=self.cfg.dataset.shuffle_seed, epoch=epoch)
-            for int_mat, float_mat, valid in _prefetch_to_device(host_iter, self.mesh):
-                if self.global_step >= hp.max_step:
-                    break
-                state, hist, last_loss = step_fn(state, hist, int_mat, float_mat, valid)
-                self.global_step += 1
-                if profiling and n_steps + 1 >= self.profile_steps:
-                    jax.block_until_ready(last_loss)
-                    jax.profiler.stop_trace()
-                    profiling = False
-                    logger.info(f"Profiler trace: {os.path.join(self.log_dir, 'profile')}")
-                n_steps += 1
-                n_examples += bs
-                if n_steps % hp.log_every_n_steps == 0:
-                    loss_sum += float(last_loss)  # occasional host sync only
+            # Slab-streamed path for datasets too large for HBM: the host
+            # gathers a contiguous CHUNK_STEPS*bs-row slab per dispatch and
+            # the SAME chunked scan fn runs over it with identity indices —
+            # one upload per chunk of steps instead of one per step.
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.cfg.dataset.shuffle_seed, epoch]))
+            order = rng.permutation(packer.n)
+            nb = packer.n // bs
+            nb = min(nb, hp.max_step - self.global_step)
+            run = self._chunked_step(packer.layout_key(), bs)
+            pos = 0
+            while pos < nb:
+                c = min(self.CHUNK_STEPS, nb - pos)
+                slab_rows = order[pos * bs : (pos + c) * bs]
+                im = packer.int_mat[slab_rows]
+                fm = packer.float_mat[slab_rows]
+                idx = np.arange(c * bs, dtype=np.int32).reshape(c, bs)
+                state, hist, last_loss = run(
+                    state, hist, self._put_replicated(im), self._put_replicated(fm),
+                    self._put_idx(idx))
+                pos += c
+                self.global_step += c
+                n_steps += c
+                n_examples += c * bs
+            loss_sum = float(jax.device_get(last_loss)) if last_loss is not None else 0.0
         if profiling:
             jax.profiler.stop_trace()
         # device_get forces true completion (block_until_ready does not
@@ -476,16 +424,23 @@ class Trainer:
                                              self._put_idx(chunk))))
                 pos += c
             return np.concatenate(scores)[: packer.n]
-        eval_fn = self._packed_eval(packer.layout_key())
-        scores, valids = [], []
-        host_iter = packer.iterate(bs, shuffle=False, drop_last=False)
-        for int_mat, float_mat, valid in _prefetch_to_device(host_iter, self.mesh):
-            s = eval_fn(params, int_mat, float_mat, valid)
-            scores.append(np.asarray(s))
-            valids.append(np.asarray(valid))
-        scores = np.concatenate(scores)
-        valid = np.concatenate(valids) > 0
-        return scores[valid][: len(ds)]
+        # slab-streamed eval for datasets too large for HBM
+        nb = (packer.n + bs - 1) // bs
+        pad_idx = np.arange(nb * bs, dtype=np.int64)
+        pad_idx[packer.n :] = packer.n - 1
+        run = self._chunked_eval_fn(packer.layout_key(), bs)
+        scores = []
+        pos = 0
+        while pos < nb:
+            c = min(self.CHUNK_STEPS, nb - pos)
+            slab_rows = pad_idx[pos * bs : (pos + c) * bs]
+            im = packer.int_mat[slab_rows]
+            fm = packer.float_mat[slab_rows]
+            idx = np.arange(c * bs, dtype=np.int32).reshape(c, bs)
+            scores.append(np.asarray(run(params, self._put_replicated(im),
+                                         self._put_replicated(fm), self._put_idx(idx))))
+            pos += c
+        return np.concatenate(scores)[: packer.n]
 
     DEVICE_METRICS_MIN_ROWS = 200_000
 
