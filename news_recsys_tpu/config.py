@@ -75,6 +75,7 @@ class TrainHParams:
     b1: float = 0.9
     b2: float = 0.999
     seed: int = 42
+    ckpt_every_steps: int = 0     # >0: sharded checkpoint every N steps (mid-epoch)
     # "adamw": exact reference semantics (dense moments/decay on all rows).
     # "sparse_adamw": rowwise updates on touched rows only (torch SparseAdam
     # semantics) — the recsys fast path; ~O(B) instead of O(V) table traffic.

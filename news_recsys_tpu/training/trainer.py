@@ -351,6 +351,7 @@ class Trainer:
                 self.global_step += c
                 n_steps += c
                 n_examples += c * bs
+                self._maybe_step_checkpoint(state)
             loss_sum = float(last_loss) if last_loss is not None else 0.0
         else:
             # Slab-streamed path for datasets too large for HBM: the host
@@ -377,6 +378,7 @@ class Trainer:
                 self.global_step += c
                 n_steps += c
                 n_examples += c * bs
+                self._maybe_step_checkpoint(state)
             loss_sum = float(jax.device_get(last_loss)) if last_loss is not None else 0.0
         if profiling:
             jax.profiler.stop_trace()
@@ -472,6 +474,20 @@ class Trainer:
             from .checkpoint import CheckpointManager
             self._ckpt_mgr = CheckpointManager(os.path.join(self.ckpt_dir, "orbax"))
         return self._ckpt_mgr
+
+    def _maybe_step_checkpoint(self, state) -> None:
+        """Mid-epoch periodic checkpointing (train_hparams.ckpt_every_steps).
+
+        Combined with ``fit(resume=True)`` this gives mid-epoch resume — the
+        reference has none (SURVEY §5.4); the step count in the state keeps
+        the lr schedule exact across restarts.
+        """
+        every = self.cfg.train_hparams.ckpt_every_steps
+        if every > 0 and not hasattr(self, "_last_step_ckpt"):
+            self._last_step_ckpt = 0
+        if every > 0 and self.global_step - self._last_step_ckpt >= every:
+            self.save_checkpoint_sharded(state, self.global_step)
+            self._last_step_ckpt = self.global_step
 
     @staticmethod
     def _state_fields(state) -> Tuple[str, ...]:

@@ -118,3 +118,18 @@ def test_sparse_state_sharded_roundtrip(tmp_path):
     assert t2.global_step == 4
     p2 = t2.predict(s2.params, ds)
     np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+
+def test_mid_epoch_periodic_checkpoint(tmp_path):
+    """ckpt_every_steps writes sharded checkpoints mid-epoch."""
+    import dataclasses
+    cfg = make_cfg()
+    cfg = dataclasses.replace(cfg, train_hparams=dataclasses.replace(
+        cfg.train_hparams, ckpt_every_steps=2))
+    ds = make_ds(n=512)  # 8 steps of 64
+    model = build_ranker(cfg, "deep")
+    t = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    t.CHUNK_STEPS = 2  # checkpoint opportunity every 2 steps
+    s = t.fit(ds, max_epochs=1)
+    steps = t.checkpoint_manager().all_steps()
+    assert list(steps) == [2, 4, 6, 8]

@@ -114,3 +114,21 @@ def test_sparse_all_rankers_smoke(tmp_path, name):
     state = tr.fit(ds, max_epochs=1)
     scores = tr.predict(state.params, ds)
     assert np.isfinite(scores).all()
+
+
+def test_sparse_with_data_parallel_mesh(tmp_path):
+    """sparse_adamw under a DP mesh matches single-device results."""
+    from news_recsys_tpu.parallel.mesh import make_mesh
+    ds = make_ds(n=512)
+    cfg = make_cfg(sparse=True)
+    model = build_ranker(cfg, "deep")
+
+    t1 = Trainer(cfg, model, workdir=str(tmp_path / "s"), use_mesh=False)
+    s1 = t1.fit(ds, max_epochs=1)
+    p1 = t1.predict(s1.params, ds)
+
+    mesh = make_mesh(data=8, model=1)
+    t2 = Trainer(cfg, model, workdir=str(tmp_path / "m"), mesh=mesh)
+    s2 = t2.fit(ds, max_epochs=1)
+    p2 = t2.predict(s2.params, ds)
+    np.testing.assert_allclose(p1, p2, atol=2e-4)
