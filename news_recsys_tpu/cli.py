@@ -63,8 +63,6 @@ def cmd_train(args):
 
 
 def _train_dssm(cfg: Config, args, train_ds):
-    import numpy as np
-
     from .data.packed_dataset import PackedDataset
     from .models.dssm import build_dssm
     from .training.retrieval import DSSMTrainer, evaluate_retrieval

@@ -10,7 +10,6 @@ exercised end-to-end without the download.
 from __future__ import annotations
 
 import datetime
-import os
 from pathlib import Path
 
 import numpy as np

@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..config import ARRAY, DENSE, SPARSE, Config, FeatureSchema, build_schema, table_specs
+from ..config import ARRAY, DENSE, SPARSE, Config, FeatureSchema, table_specs
 
 VOCAB_PAD_MULTIPLE = 128
 

@@ -24,7 +24,6 @@ from __future__ import annotations
 from typing import Dict, Sequence, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..config import Config, FeatureSchema, build_schema, table_specs

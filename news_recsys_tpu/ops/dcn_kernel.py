@@ -18,7 +18,6 @@ Pure-XLA fallback off-TPU; CPU tests run the kernel in interpreter mode.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ import os
 from typing import Any, Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from ..utils.logging import get_logger

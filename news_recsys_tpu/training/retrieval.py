@@ -17,7 +17,6 @@ from typing import Dict, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..config import Config
 from ..data.packed_dataset import PackedDataset, iterate_batches

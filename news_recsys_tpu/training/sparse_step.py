@@ -27,13 +27,11 @@ touch. Convergence parity is covered by tests on synthetic data.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import flax
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..config import ARRAY, DENSE, SPARSE, Config

@@ -31,7 +31,7 @@ import os
 import time
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, Iterable, Optional, Set, Tuple
+from typing import Dict, Optional, Set, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,7 @@ from flax.training import train_state
 
 from ..config import Config
 from ..data.packed_dataset import PackedDataset, iterate_batches
-from ..parallel.mesh import make_mesh, param_shardings, shard_batch
+from ..parallel.mesh import make_mesh, param_shardings
 from ..utils.logging import get_logger
 from .metrics import compute_user_metrics, format_validation_block
 from .schedule import hold_cosine_floor
