@@ -92,12 +92,20 @@ class VocabManager:
             json.dump(v2i, f, indent=2)
         with open(os.path.join(out_dir, "embedding_idx_2_original_val_dict.json"), "w", encoding="utf-8") as f:
             json.dump(self.idx2val, f, indent=2)
+        if self.share_map:
+            with open(os.path.join(out_dir, "vocab_share_map.json"), "w", encoding="utf-8") as f:
+                json.dump(self.share_map, f, indent=2)
 
     @classmethod
     def load(cls, out_dir: str) -> "VocabManager":
         with open(os.path.join(out_dir, "original_val_2_embedding_idx_dict.json"), "r", encoding="utf-8") as f:
             v2i = json.load(f)
-        vm = cls(feature_names=list(v2i.keys()))
+        share_path = os.path.join(out_dir, "vocab_share_map.json")
+        share_map = {}
+        if os.path.exists(share_path):
+            with open(share_path, "r", encoding="utf-8") as f:
+                share_map = json.load(f)
+        vm = cls(feature_names=list(v2i.keys()), share_map=share_map)
         for fea, (vmap, _max) in v2i.items():
             vm.val2idx[fea] = vmap
             vm.idx2val[fea] = {int(i): v for v, i in vmap.items()}
@@ -228,7 +236,13 @@ def _extract_user_click_category(ctx: ExtractionContext) -> np.ndarray:
         val = "unknown" if code == UNKNOWN else code_values[code]
         code_to_vocab[code] = ctx.vocab.get_idx("user_click_category", val)
 
-    out = np.full(n_rows, ctx.vocab.get_idx("user_click_category", "unknown"), dtype=np.int32)
+    # 'unknown' enters the vocab only if some row actually needs it (the
+    # reference assigns it inside the empty-history branch only).
+    if empty_rows.any():
+        unknown_idx = ctx.vocab.get_idx("user_click_category", "unknown")
+    else:
+        unknown_idx = 0  # unused: every row gets a winner below
+    out = np.full(n_rows, unknown_idx, dtype=np.int32)
     if len(codes):
         # Count per (row, code); tie-break by first position in history:
         # np.unique(return_index) gives each key's first occurrence.

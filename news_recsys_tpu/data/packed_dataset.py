@@ -118,6 +118,20 @@ def num_batches(n: int, batch_size: int, drop_last: bool) -> int:
     return n // batch_size if drop_last else (n + batch_size - 1) // batch_size
 
 
+def encode_dataset(params, ds: "PackedDataset", fn, batch_size: int) -> np.ndarray:
+    """Apply ``fn(params, batch) -> (B, D)`` over ``ds`` in order; returns
+    (len(ds), D) with eval padding dropped. Shared by the DSSM trainer and
+    the serving Recommender."""
+    import jax
+
+    out = []
+    for batch in iterate_batches(ds, batch_size, shuffle=False):
+        valid = batch.pop("_valid")
+        emb = fn(params, jax.device_put(batch))
+        out.append(np.asarray(emb)[valid > 0])
+    return np.concatenate(out)[: len(ds)]
+
+
 # ---------------------------------------------------------------------------
 # Matrix-packed fast path
 # ---------------------------------------------------------------------------

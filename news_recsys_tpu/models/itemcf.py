@@ -77,14 +77,22 @@ class ItemCF:
 
 def interactions_from_behaviors(behaviors) -> Dict[int, List[int]]:
     """user -> clicked items from an exploded behaviors dataframe
-    (history clicks + positive impressions, in time order)."""
+    (history clicks + positive impressions, in time order).
+
+    ``history`` may be a space-joined id string (the preprocessed format) or
+    an id list.
+    """
     out: Dict[int, List[int]] = defaultdict(list)
     seen_hist: Dict[int, int] = {}
     for _, row in behaviors.iterrows():
         uid = int(row["user_id"])
-        hist = row["history"]
+        raw = row["history"]
+        if isinstance(raw, str):
+            hist = [int(x) for x in raw.split(" ")] if raw.strip() else []
+        else:
+            hist = [int(x) for x in (raw if raw is not None else [])]
         if len(hist) > seen_hist.get(uid, -1):
-            out[uid] = list(hist) + [x for x in out[uid] if x not in set(hist)]
+            out[uid] = hist + [x for x in out[uid] if x not in set(hist)]
             seen_hist[uid] = len(hist)
         if int(row["label"]) == 1:
             out[uid].append(int(row["item_id"]))

@@ -204,6 +204,12 @@ def build_ranker(cfg: Config, name: str | None = None) -> RankerBase:
     if name == "widedeep":
         wd = cfg.extra("wide_and_deep_cfg", {}) or {}
         wide = tuple(wd.get("wide_feature_names", ()))
+        matching = [f for f in wide if f in schema]
+        if not matching:
+            raise ValueError(
+                "widedeep requires wide_and_deep_cfg.wide_feature_names with at "
+                f"least one feature from the rank schema {schema.names}; got {wide!r}"
+            )
         return WideDeepRanker(tables=tables, schema=schema, wide_features=wide)
     if name == "fm":
         return FMRanker(tables=tables, schema=schema)

@@ -33,9 +33,12 @@ logger = get_logger("distributed")
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:
-    """Idempotent ``jax.distributed.initialize`` (no-op if single-process)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """Idempotent ``jax.distributed.initialize``.
+
+    Must be the FIRST jax call in the process — do not touch
+    ``jax.devices()``/``jax.process_count()`` before this (they initialize
+    the XLA backend and make distributed init impossible).
+    """
     try:
         if coordinator_address:
             jax.distributed.initialize(coordinator_address, num_processes, process_id)
@@ -45,7 +48,16 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
             f"distributed: process {jax.process_index()}/{jax.process_count()}, "
             f"{jax.local_device_count()} local / {jax.device_count()} global devices"
         )
-    except Exception as e:
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        if "backend" in str(e).lower():
+            raise RuntimeError(
+                "initialize_distributed must run before any other JAX call "
+                "(the XLA backend is already initialized)"
+            ) from e
+        logger.info(f"single-process mode ({e})")
+    except Exception as e:  # no coordinator/env: genuine single-process runs
         logger.info(f"single-process mode ({e})")
 
 

@@ -57,12 +57,8 @@ class Recommender:
         logger.info(f"Recommender ready: {len(self.item_ids)} items, backend={self.backend}")
 
     def _encode(self, ds: PackedDataset, fn) -> np.ndarray:
-        out = []
-        for batch in iterate_batches(ds, self.batch_size, shuffle=False):
-            valid = batch.pop("_valid")
-            emb = fn(self.params, jax.device_put(batch))
-            out.append(np.asarray(emb)[valid > 0])
-        return np.concatenate(out)[: len(ds)]
+        from .data.packed_dataset import encode_dataset
+        return encode_dataset(self.params, ds, fn, self.batch_size)
 
     def recommend(self, user_batch: Batch, k: int = 10,
                   histories: Optional[Sequence[Sequence[int]]] = None

@@ -132,7 +132,12 @@ class DSSMTrainer:
                                     jax.device_put(packer.float_mat))
             int_dev, float_dev = packer._dssm_dev
             run = make_dssm_chunk_fn(self.model, packer.layout_key(), bs, *self._loss_args)
+        from .trainer import Trainer
+        chunk_steps = Trainer.CHUNK_STEPS
         for epoch in range(epochs):
+            if self.global_step >= hp.max_step:
+                logger.info(f"Reached max_step={hp.max_step}; stopping.")
+                break
             last = None
             if device_resident:
                 perm_rng = np.random.default_rng(
@@ -141,7 +146,7 @@ class DSSMTrainer:
                 idx_all = perm_rng.permutation(packer.n)[: nb * bs].reshape(nb, bs).astype(np.int32)
                 pos = 0
                 while pos < nb:
-                    c = min(100, nb - pos)
+                    c = min(chunk_steps, nb - pos)
                     state, rng, last = run(state, rng, int_dev, float_dev,
                                            jax.device_put(idx_all[pos : pos + c]))
                     pos += c
@@ -150,11 +155,15 @@ class DSSMTrainer:
                 for batch in iterate_batches(train_ds, bs, shuffle=True,
                                              seed=self.cfg.dataset.shuffle_seed,
                                              epoch=epoch):
-                    state, rng, last = self.train_step(state, rng, jax.device_put(batch))
-                    self.global_step += 1
                     if self.global_step >= hp.max_step:
                         break
-            logger.info(f"dssm epoch {epoch}: loss={float(jax.device_get(last)):.4f}")
+                    state, rng, last = self.train_step(state, rng, jax.device_put(batch))
+                    self.global_step += 1
+            if last is not None:
+                logger.info(f"dssm epoch {epoch}: loss={float(jax.device_get(last)):.4f}")
+            else:
+                logger.warning(f"dssm epoch {epoch}: no steps ran "
+                               f"(dataset rows {len(train_ds)} < batch_size {bs}?)")
             self.save_checkpoint(state, epoch)
         return state
 
@@ -177,13 +186,9 @@ class DSSMTrainer:
     # -- encoding ------------------------------------------------------------
 
     def _encode(self, params, ds: PackedDataset, fn) -> np.ndarray:
+        from ..data.packed_dataset import encode_dataset
         bs = self.cfg.dataset.eval_batch_size or self.cfg.dataset.batch_size
-        out = []
-        for batch in iterate_batches(ds, bs, shuffle=False):
-            valid = batch.pop("_valid")
-            emb = fn(params, jax.device_put(batch))
-            out.append(np.asarray(emb)[valid > 0])
-        return np.concatenate(out)[: len(ds)]
+        return encode_dataset(params, ds, fn, bs)
 
     def encode_item_corpus(self, params, item_ds: PackedDataset) -> np.ndarray:
         return np.asarray(_l2(jnp.asarray(self._encode(params, item_ds, self.encode_item))))

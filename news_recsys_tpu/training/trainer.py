@@ -319,7 +319,11 @@ class Trainer:
             self._chunked_evals[key] = make_chunked_eval_fn(self.model, layout_key, batch_size)
         return self._chunked_evals[key]
 
-    def train_epoch(self, state: TrainState, ds: PackedDataset, epoch: int) -> Tuple[TrainState, Dict[str, float]]:
+    def train_epoch(self, state: TrainState, ds: PackedDataset, epoch: int,
+                    skip_steps: int = 0) -> Tuple[TrainState, Dict[str, float]]:
+        """One epoch; ``skip_steps`` fast-forwards past the first N batches of
+        this epoch's permutation (mid-epoch resume: those steps were already
+        trained before the restart)."""
         hp = self.cfg.train_hparams
         hist = AucHist.zeros()
         loss_sum, n_steps = 0.0, 0
@@ -338,9 +342,10 @@ class Trainer:
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.cfg.dataset.shuffle_seed, epoch]))
             order = rng.permutation(packer.n)
-            nb = packer.n // bs
-            nb = min(nb, hp.max_step - self.global_step)
-            idx_all = order[: nb * bs].reshape(nb, bs).astype(np.int32)
+            nb_full = packer.n // bs
+            start = min(skip_steps, nb_full)
+            nb = min(nb_full - start, hp.max_step - self.global_step)
+            idx_all = order[start * bs : (start + nb) * bs].reshape(nb, bs).astype(np.int32)
             run = self._chunked_step(packer.layout_key(), bs)
             pos = 0
             while pos < nb:
@@ -361,13 +366,14 @@ class Trainer:
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.cfg.dataset.shuffle_seed, epoch]))
             order = rng.permutation(packer.n)
-            nb = packer.n // bs
-            nb = min(nb, hp.max_step - self.global_step)
+            nb_full = packer.n // bs
+            start = min(skip_steps, nb_full)
+            nb = min(nb_full - start, hp.max_step - self.global_step)
             run = self._chunked_step(packer.layout_key(), bs)
             pos = 0
             while pos < nb:
                 c = min(self.CHUNK_STEPS, nb - pos)
-                slab_rows = order[pos * bs : (pos + c) * bs]
+                slab_rows = order[(start + pos) * bs : (start + pos + c) * bs]
                 im = packer.int_mat[slab_rows]
                 fm = packer.float_mat[slab_rows]
                 idx = np.arange(c * bs, dtype=np.int32).reshape(c, bs)
@@ -542,12 +548,21 @@ class Trainer:
         if state is None:
             sample = next(iterate_batches(train_ds, self.cfg.dataset.batch_size, shuffle=False))
             state = self.init_state(sample)
+        start_epoch, skip = 0, 0
         if resume:
             state, restored = self.restore_latest(state)
             if restored:
-                logger.info(f"Resuming from step {self.global_step}")
-        for epoch in range(max_epochs):
-            state, _ = self.train_epoch(state, train_ds, epoch)
+                # map the restored global step back onto (epoch, intra-epoch
+                # offset) so the resumed run continues the SAME data order —
+                # no rows replayed, none skipped.
+                steps_per_epoch = max(1, len(train_ds) // self.cfg.dataset.batch_size)
+                start_epoch = self.global_step // steps_per_epoch
+                skip = self.global_step % steps_per_epoch
+                logger.info(f"Resuming at step {self.global_step} "
+                            f"(epoch {start_epoch}, offset {skip} batches)")
+        for epoch in range(start_epoch, max_epochs):
+            state, _ = self.train_epoch(state, train_ds, epoch,
+                                        skip_steps=skip if epoch == start_epoch else 0)
             if dev_ds is not None and (epoch + 1) % hp.val_freq == 0:
                 self.validate(state, dev_ds, epoch, warm_user_set)
             self.save_checkpoint(state, epoch)

@@ -133,3 +133,39 @@ def test_mid_epoch_periodic_checkpoint(tmp_path):
     s = t.fit(ds, max_epochs=1)
     steps = t.checkpoint_manager().all_steps()
     assert list(steps) == [2, 4, 6, 8]
+
+
+def test_mid_epoch_resume_exact_data_order(tmp_path):
+    """Interrupted mid-epoch + fit(resume=True) must produce the SAME final
+    state as an uninterrupted run (no rows replayed or skipped)."""
+    cfg = make_cfg()
+    ds = make_ds(n=512)  # 8 steps/epoch at bs=64
+    model = build_ranker(cfg, "deep")
+
+    # uninterrupted: 2 epochs
+    t_ref = Trainer(cfg, model, workdir=str(tmp_path / "ref"), use_mesh=False)
+    s_ref = t_ref.fit(ds, max_epochs=2)
+    p_ref = t_ref.predict(s_ref.params, ds)
+
+    # interrupted: stop after 1.5 epochs (12 steps), checkpoint, resume
+    t_a = Trainer(cfg, model, workdir=str(tmp_path / "a"), use_mesh=False)
+    t_a.CHUNK_STEPS = 4
+    s_a = t_a.fit(ds, max_epochs=1)          # epoch 0 complete (8 steps)
+    s_a, _ = t_a.train_epoch(s_a, ds, epoch=1)  # ... run epoch 1 fully? no:
+    # instead simulate mid-epoch kill: rewind to a 12-step checkpoint
+    # train epoch 1 only partially by capping max_step
+    import dataclasses
+    cfg_cap = dataclasses.replace(cfg, train_hparams=dataclasses.replace(
+        cfg.train_hparams, max_step=12))
+    t_b = Trainer(cfg_cap, model, workdir=str(tmp_path / "b"), use_mesh=False)
+    s_b = t_b.fit(ds, max_epochs=2)          # stops at step 12 (mid epoch 1)
+    assert t_b.global_step == 12
+    t_b.save_checkpoint_sharded(s_b, 12)
+
+    # resume with the uncapped config from t_b's checkpoints
+    t_c = Trainer(cfg, model, workdir=str(tmp_path / "c"), use_mesh=False)
+    t_c.ckpt_dir = t_b.ckpt_dir
+    s_c = t_c.fit(ds, max_epochs=2, resume=True)
+    assert t_c.global_step == 16
+    p_c = t_c.predict(s_c.params, ds)
+    np.testing.assert_allclose(p_ref, p_c, atol=1e-5)
