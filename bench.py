@@ -16,7 +16,7 @@ import time
 
 BATCH = 512          # reference training recipe batch size (train_cf_deep.yaml:48)
 ROWS = 512 * 1024    # benchmark dataset rows
-CPU_ROWS = 512 * 64
+CPU_ROWS = 512 * 32   # small: the CPU subprocess only anchors vs_baseline
 
 
 def measure(rows: int) -> float:
