@@ -120,11 +120,72 @@ def rowwise_adam_update(table, mu, nu, rows, grads, lr, t, b1, b2, eps, wd):
     )
 
 
-def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config):
+OOB_ROW = jnp.int32(2**29)  # routes a slot's update out of every shard's range
+
+
+def make_sharded_rowwise_update(mesh, model_axis: str = "model"):
+    """Rowwise Adam over a row-sharded table (P(model, None)) via shard_map.
+
+    The deduped (rows, grads) slots are replicated; each shard translates
+    global row ids to its local range and applies the update to its own
+    rows only. Foreign/inactive slots map out of the local bounds — JAX
+    scatter semantics DROP out-of-bounds updates (and clamp reads), so no
+    masking arithmetic or cross-shard traffic is needed: sharded sparse
+    updates cost exactly one local scatter per shard, zero collectives.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sharded = P(model_axis, None)
+    rep = P()
+
+    def update(tbl, mu, nu, rows, grads, lr, t, b1, b2, eps, wd):
+        def body(tbl, mu, nu, rows, grads, lr_arr, t_arr):
+            shard = jax.lax.axis_index(model_axis)
+            rows_local = tbl.shape[0]
+            local = rows - shard * rows_local
+            ok = (local >= 0) & (local < rows_local)
+            idx = jnp.where(ok, local, rows_local)  # OOB -> dropped on write
+            return rowwise_adam_update(tbl, mu, nu, idx, grads,
+                                       lr_arr[0], t_arr[0], b1, b2, eps, wd)
+
+        f = shard_map(
+            body, mesh=mesh,
+            in_specs=(sharded, sharded, sharded, rep, rep, rep, rep),
+            out_specs=(sharded, sharded, sharded),
+        )
+        return f(tbl, mu, nu, rows, grads,
+                 jnp.asarray(lr).reshape(1), jnp.asarray(t, jnp.float32).reshape(1))
+
+    return update
+
+
+def sparse_state_shardings(state: SparseTrainState, mesh):
+    """Shardings for a SparseTrainState: tables + moments row-sharded over
+    'model', everything else replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import param_shardings
+
+    rep = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("model", None))
+    model_parallel = "model" in mesh.axis_names and mesh.shape["model"] > 1
+    return SparseTrainState(
+        params=param_shardings(state.params, mesh),
+        dense_opt=jax.tree.map(lambda _: rep, state.dense_opt),
+        emb_mu={k: (sharded if model_parallel else rep) for k in state.emb_mu},
+        emb_nu={k: (sharded if model_parallel else rep) for k in state.emb_nu},
+        step=rep,
+    )
+
+
+def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=None):
     """Chunked (lax.scan) train fn with rowwise embedding updates.
 
     Signature matches the dense chunked fn: (state, hist, int_mat,
-    float_mat, idx_chunk) -> (state, hist, last_loss).
+    float_mat, idx_chunk) -> (state, hist, last_loss). With a model-parallel
+    mesh, large-table updates run as shard-local scatters
+    (:func:`make_sharded_rowwise_update`).
     """
     from ..data.packed_dataset import unpack_batch
 
@@ -138,7 +199,15 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config):
     dense_tx = make_dense_tx(cfg)
     schema = model.schema
     table_vocab = dict(model.tables)        # table -> (vocab, dim)
-    spare = {t: padded_vocab(v) - 1 for t, (v, d) in table_vocab.items()}
+    model_parallel = (mesh is not None and "model" in mesh.axis_names
+                      and mesh.shape["model"] > 1)
+    if model_parallel:
+        # foreign/inactive slots must fall outside EVERY shard's local range
+        spare = {t: int(OOB_ROW) for t in table_vocab}
+        sharded_update = make_sharded_rowwise_update(mesh)
+    else:
+        spare = {t: padded_vocab(v) - 1 for t, (v, d) in table_vocab.items()}
+        sharded_update = None
     large = _large_tables(model.tables)
 
     def run(state: SparseTrainState, hist: AucHist, int_mat, float_mat, idx_chunk):
@@ -218,10 +287,16 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config):
                 ids_all = jnp.concatenate([p[0] for p in pairs])
                 g_all = jnp.concatenate([p[1] for p in pairs])
                 rows, grads, _ = _dedup_rows(ids_all, g_all, spare[tname])
-                new_tables[tname], new_mu[tname], new_nu[tname] = rowwise_adam_update(
-                    tables[tname], state.emb_mu[tname], state.emb_nu[tname],
-                    rows, grads, lr_t, step1, hp.b1, hp.b2, 1e-8, hp.weight_decay,
-                )
+                if sharded_update is not None:
+                    new_tables[tname], new_mu[tname], new_nu[tname] = sharded_update(
+                        tables[tname], state.emb_mu[tname], state.emb_nu[tname],
+                        rows, grads, lr_t, step1, hp.b1, hp.b2, 1e-8, hp.weight_decay,
+                    )
+                else:
+                    new_tables[tname], new_mu[tname], new_nu[tname] = rowwise_adam_update(
+                        tables[tname], state.emb_mu[tname], state.emb_nu[tname],
+                        rows, grads, lr_t, step1, hp.b1, hp.b2, 1e-8, hp.weight_decay,
+                    )
 
             params = {"params": {**dense, "embedder": new_tables}}
             state = SparseTrainState(params=params, dense_opt=dense_opt,

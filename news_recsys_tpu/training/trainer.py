@@ -210,9 +210,12 @@ class Trainer:
         seed = self.cfg.train_hparams.seed if seed is None else seed
         params = self.model.init(jax.random.PRNGKey(seed), jax.device_put(sample_batch))
         if self.sparse_embeddings:
-            from .sparse_step import init_sparse_state, make_dense_tx
+            from .sparse_step import (init_sparse_state, make_dense_tx,
+                                      sparse_state_shardings)
             state = init_sparse_state(params, self.cfg, make_dense_tx(self.cfg),
                                       self.model.tables)
+            if self.mesh is not None:
+                state = jax.device_put(state, sparse_state_shardings(state, self.mesh))
             self._write_model_info(state)
             return state
         tx = make_optimizer(self.cfg)
@@ -306,7 +309,7 @@ class Trainer:
             if self.sparse_embeddings:
                 from .sparse_step import make_sparse_chunk_fn
                 self._chunked_steps[key] = make_sparse_chunk_fn(
-                    self.model, layout_key, batch_size, self.cfg)
+                    self.model, layout_key, batch_size, self.cfg, mesh=self.mesh)
             else:
                 self._chunked_steps[key] = make_chunked_train_fn(self.model, layout_key, batch_size)
         return self._chunked_steps[key]

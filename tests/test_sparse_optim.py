@@ -132,3 +132,38 @@ def test_sparse_with_data_parallel_mesh(tmp_path):
     s2 = t2.fit(ds, max_epochs=1)
     p2 = t2.predict(s2.params, ds)
     np.testing.assert_allclose(p1, p2, atol=2e-4)
+
+
+def test_sparse_with_model_parallel_tables(tmp_path):
+    """sparse_adamw with row-sharded tables (shard-local scatters) matches
+    single-device sparse training."""
+    from news_recsys_tpu.parallel.mesh import make_mesh
+    ds = make_ds(n=512, n_users=199, n_items=299)
+    # large-table threshold is 4096: bump vocab so tables are rowwise-updated
+    raw = {
+        "name": "deep",
+        "features": {"sparse_feature_names": FEATS,
+                     "item_feature_names": ["item_id", "category"],
+                     "user_feature_names": ["user_id"]},
+        "embeddings": {"embedding_size": {k: 16 for k in FEATS},
+                       "embedding_table_size": {"user_id": 5000, "item_id": 5000, "category": 20}},
+        "dataset": {"batch_size": 64},
+        "train_hparams": {"max_epoch": 1, "lr": 5e-3, "min_lr": 1e-3,
+                          "lr_milestones": [200, 600], "max_step": 100000,
+                          "embedding_optimizer": "sparse_adamw"},
+    }
+    cfg = config_from_dict(raw)
+    model = build_ranker(cfg, "deep")
+
+    t1 = Trainer(cfg, model, workdir=str(tmp_path / "s"), use_mesh=False)
+    s1 = t1.fit(ds, max_epochs=1)
+    p1 = t1.predict(s1.params, ds)
+
+    mesh = make_mesh(data=4, model=2)
+    t2 = Trainer(cfg, model, workdir=str(tmp_path / "m"), mesh=mesh)
+    s2 = t2.fit(ds, max_epochs=1)
+    # tables actually sharded
+    tbl = s2.params["params"]["embedder"]["user_id"]
+    assert len(tbl.sharding.device_set) == 8
+    p2 = t2.predict(s2.params, ds)
+    np.testing.assert_allclose(p1, p2, atol=2e-4)
