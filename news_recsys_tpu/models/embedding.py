@@ -92,11 +92,14 @@ class EmbeddingCollection(nn.Module):
 
     # -- batch-level contract ----------------------------------------------
 
-    def embed_fields(self, batch: Dict[str, jnp.ndarray], schema: FeatureSchema):
+    def embed_fields(self, batch: Dict[str, jnp.ndarray], schema: FeatureSchema,
+                     unpooled=()):
         """Per-field embeddings in schema (sorted-name) order: list of (B, d_f).
 
         Dense features contribute their raw value as one column
-        (``base_model.py:262-265``).
+        (``base_model.py:262-265``). Array features in ``unpooled`` return
+        their raw (B, L, D) sequence instead of the masked mean (sequence
+        models pool them themselves).
         """
         parts = []
         for spec in schema.specs:
@@ -107,6 +110,9 @@ class EmbeddingCollection(nn.Module):
                 parts.append(self.lookup(spec.table, val))
             elif spec.kind == ARRAY:
                 emb = self.lookup(spec.table, val)               # (B, L, D)
+                if spec.name in unpooled:
+                    parts.append(emb)
+                    continue
                 mask = batch.get(f"{spec.name}_mask")
                 if mask is None:
                     mask = (val != 0)

@@ -49,6 +49,10 @@ class RankerBase(nn.Module):
     tables: Tuple[Tuple[str, Tuple[int, int]], ...]
     schema: FeatureSchema
 
+    # array features a subclass consumes as raw (B, L, D) sequences instead
+    # of mean-pooled vectors (their masks travel via the ``masks`` argument)
+    unpooled_arrays: Tuple[str, ...] = ()
+
     def setup(self):
         self.embedder = _collection(self.tables)
         self._setup_tower()
@@ -57,9 +61,21 @@ class RankerBase(nn.Module):
         raise NotImplementedError
 
     def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        return self.forward_from_fields(self.embedder.embed_fields(batch, self.schema))
+        fields = self.embedder.embed_fields(batch, self.schema,
+                                            unpooled=set(self.unpooled_arrays))
+        masks = self._collect_masks(batch)
+        return self.forward_from_fields(fields, masks)
 
-    def forward_from_fields(self, fields) -> jnp.ndarray:
+    def _collect_masks(self, batch):
+        masks = {}
+        for name in self.unpooled_arrays:
+            m = batch.get(f"{name}_mask")
+            if m is None:
+                m = (batch[name] != 0).astype(jnp.float32)
+            masks[name] = m
+        return masks
+
+    def forward_from_fields(self, fields, masks=None) -> jnp.ndarray:
         raise NotImplementedError
 
 
@@ -72,7 +88,7 @@ class LRRanker(RankerBase):
     def _setup_tower(self):
         pass
 
-    def forward_from_fields(self, fields):
+    def forward_from_fields(self, fields, masks=None):
         return jnp.sum(jnp.concatenate(fields, axis=1), axis=1)
 
 
@@ -84,7 +100,7 @@ class DeepRanker(RankerBase):
     def _setup_tower(self):
         self.tower = MLP(dims=tuple(self.hidden))
 
-    def forward_from_fields(self, fields):
+    def forward_from_fields(self, fields, masks=None):
         return self.tower(jnp.concatenate(fields, axis=1))[:, 0]
 
 
@@ -98,7 +114,7 @@ class WideDeepRanker(RankerBase):
         self.tower = MLP(dims=tuple(self.hidden))
         self.bias = self.param("bias", nn.initializers.zeros, (1,))
 
-    def forward_from_fields(self, fields):
+    def forward_from_fields(self, fields, masks=None):
         wide_cols, deep_cols = [], []
         for spec, emb in zip(self.schema.specs, fields):
             if spec.name in self.wide_features:
@@ -117,7 +133,7 @@ class FMRanker(RankerBase):
     def _setup_tower(self):
         self.bias = self.param("bias", nn.initializers.zeros, (1,))
 
-    def forward_from_fields(self, fields):
+    def forward_from_fields(self, fields, masks=None):
         from ..ops.fm_kernel import fm_second_order
 
         dims = {e.shape[1] for e in fields}
@@ -181,7 +197,7 @@ class DCNRanker(RankerBase):
         self.cross = cls(num_layers=self.cross_layers)
         self.tower = MLP(dims=tuple(self.hidden))
 
-    def forward_from_fields(self, fields):
+    def forward_from_fields(self, fields, masks=None):
         x = jnp.concatenate(fields, axis=1)
         cross = self.cross(x)
         return self.tower(jnp.concatenate([x, cross], axis=1))[:, 0]

@@ -7,34 +7,33 @@ in its ``documents/TODO.md:5``). This ranker puts them to work, DIN/SASRec
 style:
 
 1. the ``hist`` array feature (padded item-id sequence, table shared with
-   ``item_id``) is embedded WITHOUT mean-pooling;
+   ``item_id``) is embedded WITHOUT mean-pooling (it is declared in
+   ``unpooled_arrays`` — so it arrives as a raw (B, L, D) field);
 2. masked Transformer blocks contextualize the sequence;
 3. target-aware attention pools it: weights = softmax over history of
    (h_l . e_target)/sqrt(D), masked to real entries;
 4. the pooled history vector joins the usual sorted-name field concat and
    feeds the standard MLP tower.
 
-All static shapes; the (B, L, D) sequence work is one fused attention stack
-on the MXU.
+Because it subclasses :class:`RankerBase` and factors through
+``forward_from_fields``, it works with BOTH optimizers — including the
+sparse rowwise path (history row gradients flow through the unpooled
+field).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Sequence, Tuple
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ..config import Config, FeatureSchema, build_schema, table_specs
-from .embedding import EmbeddingCollection
 from .layers import MLP, TransformerBlock
-from .rankers import DEFAULT_HIDDEN
+from .rankers import DEFAULT_HIDDEN, RankerBase
 
 
-class AttentionSeqRanker(nn.Module):
-    tables: Tuple[Tuple[str, Tuple[int, int]], ...]
-    schema: FeatureSchema              # rank features EXCLUDING the sequence
+class AttentionSeqRanker(RankerBase):
     hist_feature: str = "hist"
     hist_table: str = "item_id"
     num_layers: int = 1
@@ -42,8 +41,7 @@ class AttentionSeqRanker(nn.Module):
     ff_dim: int = 64
     hidden: Sequence[int] = DEFAULT_HIDDEN
 
-    def setup(self):
-        self.embedder = EmbeddingCollection(tables=self.tables)
+    def _setup_tower(self):
         dim = dict(self.tables)[self.hist_table][1]
         self.blocks = [
             TransformerBlock(embed_dim=dim, num_heads=self.num_heads, ff_dim=self.ff_dim)
@@ -51,19 +49,20 @@ class AttentionSeqRanker(nn.Module):
         ]
         self.tower = MLP(dims=tuple(self.hidden))
 
-    def __call__(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        fields = self.embedder.embed_fields(batch, self.schema)
+    def forward_from_fields(self, fields, masks=None):
+        names = list(self.schema.names)
+        hist_i = names.index(self.hist_feature)
+        target_i = names.index("item_id")
 
-        hist_ids = batch[self.hist_feature]                       # (B, L)
-        mask = batch.get(f"{self.hist_feature}_mask")
+        h = fields[hist_i]                                        # (B, L, D)
+        mask = (masks or {}).get(self.hist_feature)
         if mask is None:
-            mask = (hist_ids != 0).astype(jnp.float32)
-        h = self.embedder.lookup(self.hist_table, hist_ids)       # (B, L, D)
+            mask = jnp.ones(h.shape[:2], jnp.float32)
         for blk in self.blocks:
             h = blk(h, mask)
 
         # target-aware attention pooling
-        target = self.embedder.lookup(self.hist_table, batch["item_id"])  # (B, D)
+        target = fields[target_i]                                 # (B, D)
         scores = jnp.einsum("bld,bd->bl", h, target) / jnp.sqrt(
             jnp.asarray(h.shape[-1], jnp.float32))
         scores = jnp.where(mask > 0, scores, -1e9)
@@ -72,7 +71,8 @@ class AttentionSeqRanker(nn.Module):
         alpha = alpha * (mask.sum(axis=1, keepdims=True) > 0)
         seq_vec = jnp.einsum("bl,bld->bd", alpha, h)
 
-        x = jnp.concatenate(fields + [seq_vec], axis=1)
+        flat = [f for i, f in enumerate(fields) if i != hist_i]
+        x = jnp.concatenate(flat + [seq_vec], axis=1)
         return self.tower(x)[:, 0]
 
 
@@ -81,11 +81,17 @@ def build_attention_ranker(cfg: Config) -> AttentionSeqRanker:
     hist_feature = acfg.get("hist_feature", "hist")
     tables = tuple(sorted(table_specs(cfg).items()))
     f = cfg.features
-    rank_names = sorted((set(f.user_feature_names) | set(f.item_feature_names)) - {hist_feature})
+    rank_names = sorted(set(f.user_feature_names) | set(f.item_feature_names))
+    if hist_feature not in rank_names:
+        raise ValueError(
+            f"attention ranker needs '{hist_feature}' in user/item feature names")
+    if "item_id" not in rank_names:
+        raise ValueError("attention ranker needs 'item_id' for target-aware pooling")
     hist_table = cfg.embeddings.share_emb_table_features.get(hist_feature, hist_feature)
     return AttentionSeqRanker(
         tables=tables,
         schema=build_schema(cfg, rank_names),
+        unpooled_arrays=(hist_feature,),
         hist_feature=hist_feature,
         hist_table=hist_table,
         num_layers=int(acfg.get("num_layers", 1)),

