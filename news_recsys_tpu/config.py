@@ -183,6 +183,20 @@ def _validate(cfg: Config) -> None:
     ms = cfg.train_hparams.lr_milestones
     if len(ms) != 2:
         raise ValueError("lr_milestones must have exactly 2 entries (hold end, decay end).")
+    for key in ("param_dtype", "compute_dtype"):
+        val = getattr(cfg.mesh, key)
+        if val not in ("float32", "bfloat16"):
+            raise ValueError(f"mesh.{key} must be 'float32' or 'bfloat16', got {val!r}.")
+    if (cfg.mesh.param_dtype == "bfloat16"
+            and cfg.train_hparams.embedding_optimizer != "sparse_adamw"):
+        # Dense AdamW would keep bf16 moments and apply bf16 arithmetic to the
+        # whole table; only the rowwise path carries fp32 master moments and
+        # stochastic-rounds the write-back, so bf16 storage requires it.
+        raise ValueError(
+            "mesh.param_dtype=bfloat16 requires "
+            "train_hparams.embedding_optimizer=sparse_adamw (fp32 moments + "
+            "stochastic-rounded rowwise write-back)."
+        )
 
 
 # ---------------------------------------------------------------------------

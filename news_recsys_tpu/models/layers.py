@@ -10,7 +10,7 @@ hyperparameters.
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -37,15 +37,21 @@ def torch_linear_bias_init(fan_in: int):
 
 
 class Linear(nn.Module):
-    """nn.Dense with torch-default initialization."""
+    """nn.Dense with torch-default initialization.
+
+    ``dtype`` is the flax compute dtype: params stay float32, inputs/kernel
+    are cast for the matmul (bf16 runs it at the MXU's doubled bf16 rate).
+    """
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         return nn.Dense(
             self.features,
+            dtype=self.dtype,
             kernel_init=torch_linear_kernel_init,
             bias_init=torch_linear_bias_init(fan_in),
         )(x)
@@ -55,19 +61,22 @@ class MLP(nn.Module):
     """Linear+ReLU stack; no activation after the last layer.
 
     Mirrors the reference MLP (``utils.py:6-17``): ``dims`` are the hidden+out
-    sizes (input size inferred from the input).
+    sizes (input size inferred from the input). With a bf16 ``dtype`` the
+    matmuls run in bf16 (params stored float32); the final layer's output is
+    cast back to float32 so logits/losses keep full precision.
     """
 
     dims: Sequence[int]
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         n = len(self.dims)
         for i, d in enumerate(self.dims):
-            x = Linear(d)(x)
+            x = Linear(d, dtype=self.dtype)(x)
             if i < n - 1:
                 x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class MultiHeadSelfAttention(nn.Module):

@@ -33,10 +33,6 @@ from .layers import MLP, Linear
 DEFAULT_HIDDEN = (128, 128, 128, 64, 1)
 
 
-def _collection(cfg_tables) -> EmbeddingCollection:
-    return EmbeddingCollection(tables=cfg_tables)
-
-
 class RankerBase(nn.Module):
     """Shared plumbing: embedding collection + rank-feature schema.
 
@@ -53,8 +49,18 @@ class RankerBase(nn.Module):
     # of mean-pooled vectors (their masks travel via the ``masks`` argument)
     unpooled_arrays: Tuple[str, ...] = ()
 
+    # mesh.param_dtype / mesh.compute_dtype from the config: large-table
+    # storage dtype and tower matmul dtype ("float32" | "bfloat16").
+    table_dtype: str = "float32"
+    compute_dtype: str = "float32"
+
+    @property
+    def tower_dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
     def setup(self):
-        self.embedder = _collection(self.tables)
+        self.embedder = EmbeddingCollection(tables=self.tables,
+                                            table_dtype=self.table_dtype)
         self._setup_tower()
 
     def _setup_tower(self):
@@ -98,7 +104,7 @@ class DeepRanker(RankerBase):
     hidden: Sequence[int] = DEFAULT_HIDDEN
 
     def _setup_tower(self):
-        self.tower = MLP(dims=tuple(self.hidden))
+        self.tower = MLP(dims=tuple(self.hidden), dtype=self.tower_dtype)
 
     def forward_from_fields(self, fields, masks=None):
         return self.tower(jnp.concatenate(fields, axis=1))[:, 0]
@@ -111,7 +117,7 @@ class WideDeepRanker(RankerBase):
     hidden: Sequence[int] = DEFAULT_HIDDEN
 
     def _setup_tower(self):
-        self.tower = MLP(dims=tuple(self.hidden))
+        self.tower = MLP(dims=tuple(self.hidden), dtype=self.tower_dtype)
         self.bias = self.param("bias", nn.initializers.zeros, (1,))
 
     def forward_from_fields(self, fields, masks=None):
@@ -195,7 +201,7 @@ class DCNRanker(RankerBase):
     def _setup_tower(self):
         cls = CrossNetV1 if self.cross_version == 1 else CrossNetV2
         self.cross = cls(num_layers=self.cross_layers)
-        self.tower = MLP(dims=tuple(self.hidden))
+        self.tower = MLP(dims=tuple(self.hidden), dtype=self.tower_dtype)
 
     def forward_from_fields(self, fields, masks=None):
         x = jnp.concatenate(fields, axis=1)
@@ -213,10 +219,11 @@ def build_ranker(cfg: Config, name: str | None = None) -> RankerBase:
     name = name or cfg.name
     tables = tuple(sorted(table_specs(cfg).items()))
     schema = build_schema(cfg)
+    dtypes = dict(table_dtype=cfg.mesh.param_dtype, compute_dtype=cfg.mesh.compute_dtype)
     if name == "lr":
-        return LRRanker(tables=tables, schema=schema)
+        return LRRanker(tables=tables, schema=schema, **dtypes)
     if name == "deep":
-        return DeepRanker(tables=tables, schema=schema)
+        return DeepRanker(tables=tables, schema=schema, **dtypes)
     if name == "widedeep":
         wd = cfg.extra("wide_and_deep_cfg", {}) or {}
         wide = tuple(wd.get("wide_feature_names", ()))
@@ -226,9 +233,9 @@ def build_ranker(cfg: Config, name: str | None = None) -> RankerBase:
                 "widedeep requires wide_and_deep_cfg.wide_feature_names with at "
                 f"least one feature from the rank schema {schema.names}; got {wide!r}"
             )
-        return WideDeepRanker(tables=tables, schema=schema, wide_features=wide)
+        return WideDeepRanker(tables=tables, schema=schema, wide_features=wide, **dtypes)
     if name == "fm":
-        return FMRanker(tables=tables, schema=schema)
+        return FMRanker(tables=tables, schema=schema, **dtypes)
     if name == "dcn":
         dcn = cfg.extra("dcn_cfg", {}) or {}
         return DCNRanker(
@@ -236,6 +243,7 @@ def build_ranker(cfg: Config, name: str | None = None) -> RankerBase:
             schema=schema,
             cross_layers=int(dcn.get("num_layers", 3)),
             cross_version=int(dcn.get("version", 1)),
+            **dtypes,
         )
     if name == "attention":
         from .seq_ranker import build_attention_ranker

@@ -47,7 +47,7 @@ class AttentionSeqRanker(RankerBase):
             TransformerBlock(embed_dim=dim, num_heads=self.num_heads, ff_dim=self.ff_dim)
             for _ in range(self.num_layers)
         ]
-        self.tower = MLP(dims=tuple(self.hidden))
+        self.tower = MLP(dims=tuple(self.hidden), dtype=self.tower_dtype)
 
     def forward_from_fields(self, fields, masks=None):
         names = list(self.schema.names)
@@ -92,6 +92,8 @@ def build_attention_ranker(cfg: Config) -> AttentionSeqRanker:
         tables=tables,
         schema=build_schema(cfg, rank_names),
         unpooled_arrays=(hist_feature,),
+        table_dtype=cfg.mesh.param_dtype,
+        compute_dtype=cfg.mesh.compute_dtype,
         hist_feature=hist_feature,
         hist_table=hist_table,
         num_layers=int(acfg.get("num_layers", 1)),

@@ -35,16 +35,15 @@ import jax.numpy as jnp
 import optax
 
 from ..config import ARRAY, DENSE, SPARSE, Config
-from ..models.embedding import padded_vocab
+from ..models.embedding import SMALL_VOCAB_THRESHOLD, padded_vocab
 from .schedule import hold_cosine_floor
 from .trainer import AucHist, binned_auc_update
 
 EPS_POOL = 1e-8
 
-
-# Tables with vocab below this use exact dense AdamW (their full-table
-# traffic is trivial and the per-step sort/dedup would cost more).
-SMALL_VOCAB_THRESHOLD = 4096
+# Tables with vocab below SMALL_VOCAB_THRESHOLD (re-exported from
+# models.embedding) use exact dense AdamW: their full-table traffic is
+# trivial and the per-step sort/dedup would cost more.
 
 
 def _large_tables(tables_spec) -> set:
@@ -69,8 +68,9 @@ def init_sparse_state(params, cfg: Config, dense_tx, tables_spec) -> SparseTrain
     return SparseTrainState(
         params=params,
         dense_opt=dense_tx.init({"dense": dense, "small": small}),
-        emb_mu={k: jnp.zeros_like(v) for k, v in tables.items() if k in large},
-        emb_nu={k: jnp.zeros_like(v) for k, v in tables.items() if k in large},
+        # moments are fp32 master state even when the table itself is bf16
+        emb_mu={k: jnp.zeros(v.shape, jnp.float32) for k, v in tables.items() if k in large},
+        emb_nu={k: jnp.zeros(v.shape, jnp.float32) for k, v in tables.items() if k in large},
         step=jnp.zeros((), jnp.int32),
     )
 
@@ -102,9 +102,30 @@ def _dedup_rows(ids_flat: jnp.ndarray, grads_flat: jnp.ndarray, spare_row: int):
     return rows, grads, active
 
 
-def rowwise_adam_update(table, mu, nu, rows, grads, lr, t, b1, b2, eps, wd):
-    """Adam on the given rows only (global-step bias correction)."""
-    p_rows = table[rows]
+def stochastic_round_bf16(x: jnp.ndarray, key) -> jnp.ndarray:
+    """fp32 -> bf16 with stochastic rounding.
+
+    Adds a uniform random 16-bit integer below the bf16 mantissa boundary and
+    truncates: P(round up) equals the fractional position of ``x`` between
+    its two bf16 neighbours, so rounding is unbiased — tiny Adam deltas on a
+    bf16-stored table accumulate in expectation instead of vanishing to the
+    nearest-even value every step. Values already representable in bf16 (low
+    16 bits zero) pass through exactly.
+    """
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    noise = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
+
+
+def rowwise_adam_update(table, mu, nu, rows, grads, lr, t, b1, b2, eps, wd, key=None):
+    """Adam on the given rows only (global-step bias correction).
+
+    Math runs in fp32 regardless of the table's storage dtype; a bf16 table
+    gets its updated rows written back with stochastic rounding (``key``
+    required).
+    """
+    p_rows = table[rows].astype(jnp.float32)
     mu_rows = mu[rows]
     nu_rows = nu[rows]
     mu_new = b1 * mu_rows + (1 - b1) * grads
@@ -113,8 +134,14 @@ def rowwise_adam_update(table, mu, nu, rows, grads, lr, t, b1, b2, eps, wd):
     mhat = mu_new / (1 - b1**t)
     vhat = nu_new / (1 - b2**t)
     delta = lr * (mhat / (jnp.sqrt(vhat) + eps) + wd * p_rows)
+    p_new = p_rows - delta
+    if table.dtype == jnp.bfloat16:
+        assert key is not None, "bf16 table write-back needs a PRNG key"
+        p_new = stochastic_round_bf16(p_new, key)
+    else:
+        p_new = p_new.astype(table.dtype)
     return (
-        table.at[rows].set(p_rows - delta),
+        table.at[rows].set(p_new),
         mu.at[rows].set(mu_new),
         nu.at[rows].set(nu_new),
     )
@@ -139,23 +166,30 @@ def make_sharded_rowwise_update(mesh, model_axis: str = "model"):
     sharded = P(model_axis, None)
     rep = P()
 
-    def update(tbl, mu, nu, rows, grads, lr, t, b1, b2, eps, wd):
-        def body(tbl, mu, nu, rows, grads, lr_arr, t_arr):
+    def update(tbl, mu, nu, rows, grads, lr, t, b1, b2, eps, wd, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)  # unused unless tbl is bf16
+
+        def body(tbl, mu, nu, rows, grads, lr_arr, t_arr, key):
             shard = jax.lax.axis_index(model_axis)
             rows_local = tbl.shape[0]
             local = rows - shard * rows_local
             ok = (local >= 0) & (local < rows_local)
             idx = jnp.where(ok, local, rows_local)  # OOB -> dropped on write
+            # the replicated key is safe: each global row is written by at
+            # most one shard, so shards sharing noise never collide
             return rowwise_adam_update(tbl, mu, nu, idx, grads,
-                                       lr_arr[0], t_arr[0], b1, b2, eps, wd)
+                                       lr_arr[0], t_arr[0], b1, b2, eps, wd,
+                                       key=key)
 
         f = shard_map(
             body, mesh=mesh,
-            in_specs=(sharded, sharded, sharded, rep, rep, rep, rep),
+            in_specs=(sharded, sharded, sharded, rep, rep, rep, rep, rep),
             out_specs=(sharded, sharded, sharded),
         )
         return f(tbl, mu, nu, rows, grads,
-                 jnp.asarray(lr).reshape(1), jnp.asarray(t, jnp.float32).reshape(1))
+                 jnp.asarray(lr).reshape(1), jnp.asarray(t, jnp.float32).reshape(1),
+                 key)
 
     return update
 
@@ -224,11 +258,15 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
             dense = {k: v for k, v in inner.items() if k != "embedder"}
             small = {k: v for k, v in tables.items() if k not in large}
 
-            # gather LARGE-table rows per feature (outside differentiation)
+            # gather LARGE-table rows per feature (outside differentiation);
+            # bf16-stored rows upcast right after the gather so all gradient
+            # math is fp32
             rows_in = {}
             for spec in schema.specs:
                 if spec.kind in (SPARSE, ARRAY) and spec.table in large:
-                    rows_in[spec.name] = jnp.take(tables[spec.table], batch[spec.name], axis=0)
+                    rows_in[spec.name] = jnp.take(
+                        tables[spec.table], batch[spec.name], axis=0
+                    ).astype(jnp.float32)
 
             labels = batch["label"][:, 0]
             weights = batch.get("_valid", ones)
@@ -290,19 +328,25 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
 
             new_tables, new_mu, new_nu = dict(tables), dict(state.emb_mu), dict(state.emb_nu)
             new_tables.update(small)
-            for tname, pairs in per_table.items():
+            # per-step key for stochastic bf16 write-back (constant-folded
+            # base key; fold_in(step) decorrelates steps, fold_in(ti) tables)
+            step_key = jax.random.fold_in(jax.random.PRNGKey(hp.seed), state.step)
+            for ti, (tname, pairs) in enumerate(sorted(per_table.items())):
                 ids_all = jnp.concatenate([p[0] for p in pairs])
                 g_all = jnp.concatenate([p[1] for p in pairs])
                 rows, grads, _ = _dedup_rows(ids_all, g_all, spare[tname])
+                tkey = jax.random.fold_in(step_key, ti)
                 if sharded_update is not None:
                     new_tables[tname], new_mu[tname], new_nu[tname] = sharded_update(
                         tables[tname], state.emb_mu[tname], state.emb_nu[tname],
                         rows, grads, lr_t, step1, hp.b1, hp.b2, 1e-8, hp.weight_decay,
+                        key=tkey,
                     )
                 else:
                     new_tables[tname], new_mu[tname], new_nu[tname] = rowwise_adam_update(
                         tables[tname], state.emb_mu[tname], state.emb_nu[tname],
                         rows, grads, lr_t, step1, hp.b1, hp.b2, 1e-8, hp.weight_decay,
+                        key=tkey,
                     )
 
             params = {"params": {**dense, "embedder": new_tables}}
