@@ -85,6 +85,29 @@ def _train_dssm(cfg: Config, args, train_ds):
     with open(os.path.join(trainer.log_dir, "retrieval_eval.json"), "w") as f:
         json.dump(res, f)
 
+    # self-contained serving artifact: config + params + encoded corpus
+    from .serving import Recommender
+    bundle = Recommender(cfg, model, state.params, item_ds).save(
+        os.path.join(trainer.log_dir, "bundle"))
+    print(f"Serving bundle: {bundle}")
+
+
+def cmd_serve(args):
+    if args.backend == "host":
+        # pin JAX to CPU before first use: the user-tower encode then runs
+        # on host too (a serving box without an accelerator), and no TPU
+        # client is initialized lazily inside request-handler threads
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from .serving import Recommender, serve_http
+    rec = Recommender.load(args.bundle, backend=args.backend)
+    server = serve_http(rec, host=args.host, port=args.port)
+    print(f"Serving on http://{args.host}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
 
 def _dev_histories(cfg: Config, row_mask):
     """Per-row clicked-history lists from dev_behaviors_processed.csv."""
@@ -146,6 +169,13 @@ def main(argv=None):
     p.add_argument("--workdir", default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("serve", help="HTTP recommendation server from a saved bundle")
+    p.add_argument("--bundle", required=True, help="bundle dir (train dssm writes one)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8321)
+    p.add_argument("--backend", default="auto", choices=["auto", "device", "host"])
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("log", help="best-epoch report from val_log.log")
     p.add_argument("target", help="log file, experiment dir, or model name")

@@ -151,6 +151,28 @@ def load_config(path: str) -> Config:
     return config_from_dict(raw)
 
 
+def config_to_dict(cfg: Config) -> Dict[str, Any]:
+    """Inverse of :func:`config_from_dict`: a YAML-safe plain dict that
+    round-trips (tuples become lists). Used by artifact bundles that must
+    carry their config with them (:mod:`news_recsys_tpu.serving`)."""
+
+    def plain(x):
+        if isinstance(x, tuple):
+            return [plain(v) for v in x]
+        if isinstance(x, dict):
+            return {k: plain(v) for k, v in x.items()}
+        return x
+
+    out: Dict[str, Any] = {"name": cfg.name}
+    for key, cls in _SECTION_TYPES.items():
+        section = getattr(cfg, key)
+        out[key] = {f.name: plain(getattr(section, f.name))
+                    for f in dataclasses.fields(cls)}
+    for key, value in cfg.extras.items():
+        out[key] = plain(value)
+    return out
+
+
 def config_from_dict(raw: Dict[str, Any]) -> Config:
     sections = {}
     extras: Dict[str, Any] = {}
