@@ -209,15 +209,19 @@ def _validate(cfg: Config) -> None:
         val = getattr(cfg.mesh, key)
         if val not in ("float32", "bfloat16"):
             raise ValueError(f"mesh.{key} must be 'float32' or 'bfloat16', got {val!r}.")
-    if (cfg.mesh.param_dtype == "bfloat16"
-            and cfg.train_hparams.embedding_optimizer != "sparse_adamw"):
-        # Dense AdamW would keep bf16 moments and apply bf16 arithmetic to the
-        # whole table; only the rowwise path carries fp32 master moments and
-        # stochastic-rounds the write-back, so bf16 storage requires it.
+    opt = cfg.train_hparams.embedding_optimizer
+    if opt not in ("adamw", "sparse_adamw", "rowwise_adagrad"):
         raise ValueError(
-            "mesh.param_dtype=bfloat16 requires "
-            "train_hparams.embedding_optimizer=sparse_adamw (fp32 moments + "
-            "stochastic-rounded rowwise write-back)."
+            f"train_hparams.embedding_optimizer must be one of "
+            f"adamw|sparse_adamw|rowwise_adagrad, got {opt!r}.")
+    if cfg.mesh.param_dtype == "bfloat16" and opt == "adamw":
+        # Dense AdamW would keep bf16 moments and apply bf16 arithmetic to the
+        # whole table; only the rowwise paths carry fp32 master state and
+        # stochastic-round the write-back, so bf16 storage requires one.
+        raise ValueError(
+            "mesh.param_dtype=bfloat16 requires a rowwise embedding optimizer "
+            "(sparse_adamw or rowwise_adagrad: fp32 master state + "
+            "stochastic-rounded write-back)."
         )
 
 

@@ -23,6 +23,19 @@ updated — O(B*D) traffic. Mechanics, all static-shaped:
 Semantics vs dense AdamW (documented divergence, as with torch SparseAdam):
 untouched rows' moments do not decay and weight decay applies only on
 touch. Convergence parity is covered by tests on synthetic data.
+
+Two rowwise optimizers are provided:
+
+- ``sparse_adamw``: per-element (V, D) moments, closest to the reference's
+  AdamW. Costs three (V, D) scatters per table per step — and XLA
+  materializes a fresh buffer for every (V, D) scatter inside a compiled
+  loop (a full-table HBM pass; measured on v5e: ~14-18 us per pass at 94k
+  rows, only dynamic-update-slice updates in place).
+- ``rowwise_adagrad``: the standard TPU-embedding optimizer (TPUEmbedding /
+  torchrec "rowwise AdaGrad"): ONE scalar accumulator per row,
+  ``acc += mean(g^2)``, ``p -= lr * g / sqrt(acc)``. One (V, D) scatter per
+  step and 3x less optimizer HBM — measured 1.7x faster end-to-end on the
+  DCN benchmark (2.2M vs 1.3M examples/s/chip).
 """
 
 from __future__ import annotations
@@ -54,9 +67,18 @@ def _large_tables(tables_spec) -> set:
 class SparseTrainState:
     params: Any                       # full flax params (incl. embedder tables)
     dense_opt: Any                    # optax state for dense params + small tables
-    emb_mu: Dict[str, jnp.ndarray]    # LARGE-table first moments
-    emb_nu: Dict[str, jnp.ndarray]    # LARGE-table second moments
+    # LARGE-table optimizer state. sparse_adamw: per-element first/second
+    # moments, both (V, D). rowwise_adagrad: emb_mu holds the per-ROW scalar
+    # accumulator (V,), emb_nu is empty — 3x less optimizer HBM and, more
+    # importantly, 2 fewer full-table passes per step (XLA materializes a
+    # fresh buffer for every (V, D) scatter inside a scan; a (V,) scatter is
+    # ~free).
+    emb_mu: Dict[str, jnp.ndarray]
+    emb_nu: Dict[str, jnp.ndarray]
     step: jnp.ndarray
+
+
+ADAGRAD_INIT_ACC = 0.1   # TF/TPUEmbedding default initial accumulator
 
 
 def init_sparse_state(params, cfg: Config, dense_tx, tables_spec) -> SparseTrainState:
@@ -65,12 +87,19 @@ def init_sparse_state(params, cfg: Config, dense_tx, tables_spec) -> SparseTrain
     tables = inner["embedder"]
     large = _large_tables(tables_spec)
     small = {k: v for k, v in tables.items() if k not in large}
+    if cfg.train_hparams.embedding_optimizer == "rowwise_adagrad":
+        emb_mu = {k: jnp.full((v.shape[0],), ADAGRAD_INIT_ACC, jnp.float32)
+                  for k, v in tables.items() if k in large}
+        emb_nu = {}
+    else:
+        # moments are fp32 master state even when the table itself is bf16
+        emb_mu = {k: jnp.zeros(v.shape, jnp.float32) for k, v in tables.items() if k in large}
+        emb_nu = {k: jnp.zeros(v.shape, jnp.float32) for k, v in tables.items() if k in large}
     return SparseTrainState(
         params=params,
         dense_opt=dense_tx.init({"dense": dense, "small": small}),
-        # moments are fp32 master state even when the table itself is bf16
-        emb_mu={k: jnp.zeros(v.shape, jnp.float32) for k, v in tables.items() if k in large},
-        emb_nu={k: jnp.zeros(v.shape, jnp.float32) for k, v in tables.items() if k in large},
+        emb_mu=emb_mu,
+        emb_nu=emb_nu,
         step=jnp.zeros((), jnp.int32),
     )
 
@@ -147,6 +176,23 @@ def rowwise_adam_update(table, mu, nu, rows, grads, lr, t, b1, b2, eps, wd, key=
     )
 
 
+def rowwise_adagrad_update(table, acc, rows, grads, lr, eps=1e-10, key=None):
+    """Rowwise AdaGrad on the given rows (TPUEmbedding/torchrec semantics):
+    one scalar accumulator per row, ``acc += mean(g^2)``,
+    ``p -= lr * g / sqrt(acc)``. Math in fp32; bf16 tables get
+    stochastic-rounded write-back."""
+    g2 = jnp.mean(grads * grads, axis=-1)                  # (N,)
+    acc_rows = acc[rows] + g2
+    p_rows = table[rows].astype(jnp.float32)
+    p_new = p_rows - lr * grads / (jnp.sqrt(acc_rows) + eps)[:, None]
+    if table.dtype == jnp.bfloat16:
+        assert key is not None, "bf16 table write-back needs a PRNG key"
+        p_new = stochastic_round_bf16(p_new, key)
+    else:
+        p_new = p_new.astype(table.dtype)
+    return table.at[rows].set(p_new), acc.at[rows].set(acc_rows)
+
+
 OOB_ROW = jnp.int32(2**29)  # routes a slot's update out of every shard's range
 
 
@@ -194,6 +240,36 @@ def make_sharded_rowwise_update(mesh, model_axis: str = "model"):
     return update
 
 
+def make_sharded_adagrad_update(mesh, model_axis: str = "model"):
+    """Rowwise AdaGrad over a row-sharded table: same shard-local translation
+    trick as :func:`make_sharded_rowwise_update` (OOB slots drop on write);
+    the (V,) accumulator shards as P(model)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def update(tbl, acc, rows, grads, lr, eps=1e-10, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        def body(tbl, acc, rows, grads, lr_arr, key):
+            shard = jax.lax.axis_index(model_axis)
+            rows_local = tbl.shape[0]
+            local = rows - shard * rows_local
+            ok = (local >= 0) & (local < rows_local)
+            idx = jnp.where(ok, local, rows_local)  # OOB -> dropped on write
+            return rowwise_adagrad_update(tbl, acc, idx, grads, lr_arr[0],
+                                          eps=eps, key=key)
+
+        f = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(model_axis, None), P(model_axis), P(), P(), P(), P()),
+            out_specs=(P(model_axis, None), P(model_axis)),
+        )
+        return f(tbl, acc, rows, grads, jnp.asarray(lr).reshape(1), key)
+
+    return update
+
+
 def sparse_state_shardings(state: SparseTrainState, mesh):
     """Shardings for a SparseTrainState: tables + moments row-sharded over
     'model', everything else replicated."""
@@ -203,12 +279,19 @@ def sparse_state_shardings(state: SparseTrainState, mesh):
 
     rep = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P("model", None))
+    vec_sharded = NamedSharding(mesh, P("model"))     # rowwise-adagrad (V,) accs
     model_parallel = "model" in mesh.axis_names and mesh.shape["model"] > 1
+
+    def moment_sharding(v):
+        if not model_parallel:
+            return rep
+        return vec_sharded if v.ndim == 1 else sharded
+
     return SparseTrainState(
         params=param_shardings(state.params, mesh),
         dense_opt=jax.tree.map(lambda _: rep, state.dense_opt),
-        emb_mu={k: (sharded if model_parallel else rep) for k in state.emb_mu},
-        emb_nu={k: (sharded if model_parallel else rep) for k in state.emb_nu},
+        emb_mu={k: moment_sharding(v) for k, v in state.emb_mu.items()},
+        emb_nu={k: moment_sharding(v) for k, v in state.emb_nu.items()},
         step=rep,
     )
 
@@ -229,6 +312,7 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
             "use embedding_optimizer=adamw for this model."
         )
     hp = cfg.train_hparams
+    adagrad = hp.embedding_optimizer == "rowwise_adagrad"
     sched = hold_cosine_floor(hp.lr, hp.min_lr, hp.lr_milestones)
     dense_tx = make_dense_tx(cfg)
     schema = model.schema
@@ -238,7 +322,8 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
     if model_parallel:
         # foreign/inactive slots must fall outside EVERY shard's local range
         spare = {t: int(OOB_ROW) for t in table_vocab}
-        sharded_update = make_sharded_rowwise_update(mesh)
+        sharded_update = (make_sharded_adagrad_update(mesh) if adagrad
+                          else make_sharded_rowwise_update(mesh))
     else:
         spare = {t: padded_vocab(v) - 1 for t, (v, d) in table_vocab.items()}
         sharded_update = None
@@ -336,7 +421,16 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
                 g_all = jnp.concatenate([p[1] for p in pairs])
                 rows, grads, _ = _dedup_rows(ids_all, g_all, spare[tname])
                 tkey = jax.random.fold_in(step_key, ti)
-                if sharded_update is not None:
+                if adagrad:
+                    if sharded_update is not None:
+                        new_tables[tname], new_mu[tname] = sharded_update(
+                            tables[tname], state.emb_mu[tname], rows, grads,
+                            lr_t, key=tkey)
+                    else:
+                        new_tables[tname], new_mu[tname] = rowwise_adagrad_update(
+                            tables[tname], state.emb_mu[tname], rows, grads,
+                            lr_t, key=tkey)
+                elif sharded_update is not None:
                     new_tables[tname], new_mu[tname], new_nu[tname] = sharded_update(
                         tables[tname], state.emb_mu[tname], state.emb_nu[tname],
                         rows, grads, lr_t, step1, hp.b1, hp.b2, 1e-8, hp.weight_decay,

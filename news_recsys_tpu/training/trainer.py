@@ -204,7 +204,8 @@ class Trainer:
 
     @property
     def sparse_embeddings(self) -> bool:
-        return self.cfg.train_hparams.embedding_optimizer == "sparse_adamw"
+        return self.cfg.train_hparams.embedding_optimizer in (
+            "sparse_adamw", "rowwise_adagrad")
 
     def init_state(self, sample_batch: Dict[str, np.ndarray], seed: Optional[int] = None):
         seed = self.cfg.train_hparams.seed if seed is None else seed

@@ -169,3 +169,40 @@ def test_mid_epoch_resume_exact_data_order(tmp_path):
     assert t_c.global_step == 16
     p_c = t_c.predict(s_c.params, ds)
     np.testing.assert_allclose(p_ref, p_c, atol=1e-5)
+
+
+def test_adagrad_state_sharded_roundtrip(tmp_path):
+    """Orbax save/restore for the rowwise-adagrad state ((V,) accumulator,
+    empty emb_nu)."""
+    from news_recsys_tpu.config import config_from_dict
+    cfg = config_from_dict({
+        "name": "deep",
+        "features": {"sparse_feature_names": FEATS,
+                     "item_feature_names": ["item_id"], "user_feature_names": ["user_id"]},
+        "embeddings": {"embedding_size": {k: 16 for k in FEATS},
+                       "embedding_table_size": {"user_id": 5000, "item_id": 5000}},
+        "dataset": {"batch_size": 64},
+        "train_hparams": {"max_epoch": 1, "lr": 1e-2, "min_lr": 1e-3,
+                          "lr_milestones": [100, 200], "max_step": 10000,
+                          "embedding_optimizer": "rowwise_adagrad"},
+    })
+    rng = np.random.default_rng(0)
+    n = 256
+    ds = PackedDataset({
+        "user_id": rng.integers(1, 5000, n).astype(np.int32),
+        "item_id": rng.integers(1, 5000, n).astype(np.int32),
+        "label": (rng.random(n) < 0.3).astype(np.float32).reshape(-1, 1),
+    })
+    model = build_ranker(cfg, "deep")
+    t = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    s = t.fit(ds, max_epochs=1)
+    t.save_checkpoint_sharded(s, int(np.asarray(s.step)))
+    p1 = t.predict(s.params, ds)
+
+    t2 = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    s2 = t2.fit(ds, max_epochs=0, resume=True)
+    assert t2.global_step == 4
+    np.testing.assert_allclose(np.asarray(s2.emb_mu["user_id"]),
+                               np.asarray(s.emb_mu["user_id"]), atol=0)
+    p2 = t2.predict(s2.params, ds)
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
