@@ -63,6 +63,14 @@ class DSSM(nn.Module):
     def __call__(self, batch: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return self.user_embedding(batch), self.item_embedding(batch)
 
+    def towers_from_fields(self, user_fields, item_fields) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Tower outputs from pre-built per-field embedding lists (schema
+        order) — the factoring the sparse rowwise-optimizer train step uses
+        to differentiate w.r.t. gathered table rows (same contract as
+        ``RankerBase.forward_from_fields``)."""
+        return (self.user_fc(jnp.concatenate(user_fields, axis=1)),
+                self.item_fc(jnp.concatenate(item_fields, axis=1)))
+
 
 def build_dssm(cfg: Config) -> DSSM:
     tables = tuple(sorted(table_specs(cfg).items()))
@@ -109,10 +117,11 @@ def triplet_loss(user_emb, pos_item_emb, neg_item_emb, margin: float = 1.0,
     return jnp.mean(losses)
 
 
-def dssm_train_loss(model: DSSM, params, rng, batch, negative_sample_rate: int = 3,
-                    temperature: float = 0.1, loss_type: str = "infonce",
-                    margin: float = 1.0) -> jnp.ndarray:
-    user_emb, item_emb = model.apply(params, batch)
+def dssm_loss_from_embeddings(rng, user_emb, item_emb, batch,
+                              negative_sample_rate: int = 3,
+                              temperature: float = 0.1, loss_type: str = "infonce",
+                              margin: float = 1.0) -> jnp.ndarray:
+    """Loss from raw tower outputs (negatives sampled, L2-normalized here)."""
     neg = sample_in_batch_negatives(rng, item_emb, negative_sample_rate)
     user_emb = _l2(user_emb)
     item_emb = _l2(item_emb)
@@ -122,3 +131,12 @@ def dssm_train_loss(model: DSSM, params, rng, batch, negative_sample_rate: int =
     if loss_type == "triplet":
         return triplet_loss(user_emb, item_emb, neg, margin, mask)
     return info_nce_loss(user_emb, item_emb, neg, temperature, mask)
+
+
+def dssm_train_loss(model: DSSM, params, rng, batch, negative_sample_rate: int = 3,
+                    temperature: float = 0.1, loss_type: str = "infonce",
+                    margin: float = 1.0) -> jnp.ndarray:
+    user_emb, item_emb = model.apply(params, batch)
+    return dssm_loss_from_embeddings(rng, user_emb, item_emb, batch,
+                                     negative_sample_rate, temperature,
+                                     loss_type, margin)

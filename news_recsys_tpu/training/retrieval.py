@@ -17,6 +17,7 @@ from typing import Dict, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from ..config import Config
 from ..data.packed_dataset import PackedDataset, iterate_batches
@@ -71,6 +72,90 @@ def make_dssm_chunk_fn(model: DSSM, layout_key, batch_size: int,
     return jax.jit(run, donate_argnums=(0,))
 
 
+def make_dssm_sparse_chunk_fn(model: DSSM, layout_key, batch_size: int, cfg: Config,
+                              negative_sample_rate: int, temperature: float,
+                              loss_type: str = "infonce", margin: float = 1.0,
+                              mesh=None):
+    """DSSM chunked training with ROWWISE embedding updates (sparse_adamw or
+    rowwise_adagrad): differentiates w.r.t. the gathered user/item table
+    rows — the dense (V, D) gradient never exists — and applies the same
+    per-table rowwise optimizer as the ranking path."""
+    from ..data.packed_dataset import unpack_batch
+    from ..models.dssm import dssm_loss_from_embeddings
+    from .sparse_step import (SparseTrainState, _large_tables, collect_per_table,
+                              fields_from_rows, gather_large_rows, make_dense_tx,
+                              make_table_updater)
+    from .schedule import hold_cosine_floor
+
+    hp = cfg.train_hparams
+    sched = hold_cosine_floor(hp.lr, hp.min_lr, hp.lr_milestones)
+    dense_tx = make_dense_tx(cfg)
+    large = _large_tables(model.tables)
+    table_update = make_table_updater(cfg, model.tables, mesh)
+    u_schema, i_schema = model.user_schema, model.item_schema
+
+    def run(state: SparseTrainState, rng, int_mat, float_mat, idx_chunk):
+        ones = jnp.ones(batch_size, jnp.float32)
+
+        def body(carry, idx):
+            state, rng = carry
+            rng, sub = jax.random.split(rng)
+            im = jnp.take(int_mat, idx, axis=0)
+            fm = jnp.take(float_mat, idx, axis=0)
+            batch = unpack_batch(im, fm, ones, layout_key)
+
+            inner = state.params["params"]
+            tables = inner["embedder"]
+            dense = {k: v for k, v in inner.items() if k != "embedder"}
+            small = {k: v for k, v in tables.items() if k not in large}
+
+            rows_in = {**gather_large_rows(u_schema, batch, tables, large),
+                       **gather_large_rows(i_schema, batch, tables, large)}
+
+            def loss_from(dense_params, small_tbls, rows):
+                u_fields, _ = fields_from_rows(u_schema, batch, rows, small_tbls, large)
+                i_fields, _ = fields_from_rows(i_schema, batch, rows, small_tbls, large)
+                full = {"params": {**dense_params,
+                                   "embedder": jax.tree.map(jax.lax.stop_gradient, tables)}}
+                u_emb, i_emb = model.apply(full, u_fields, i_fields,
+                                           method=DSSM.towers_from_fields)
+                return dssm_loss_from_embeddings(sub, u_emb, i_emb, batch,
+                                                 negative_sample_rate, temperature,
+                                                 loss_type, margin)
+
+            loss, (dense_g, small_g, row_g) = jax.value_and_grad(
+                loss_from, argnums=(0, 1, 2))(dense, small, rows_in)
+
+            combined = {"dense": dense, "small": small}
+            updates, dense_opt = dense_tx.update(
+                {"dense": dense_g, "small": small_g}, state.dense_opt, combined)
+            combined = optax.apply_updates(combined, updates)
+            dense, small = combined["dense"], combined["small"]
+
+            lr_t = sched(state.step)
+            # a feature in BOTH schemas has one rows_in entry whose gradient
+            # already sums both towers' contributions — collect it once
+            per_table = collect_per_table(u_schema, batch, row_g, large)
+            seen = {s.name for s in u_schema.specs}
+            i_only = i_schema.subset([s.name for s in i_schema.specs
+                                      if s.name not in seen])
+            for t, pairs in collect_per_table(i_only, batch, row_g, large).items():
+                per_table.setdefault(t, []).extend(pairs)
+            new_tables, new_mu, new_nu = table_update(
+                tables, state.emb_mu, state.emb_nu, per_table, state.step, lr_t)
+            new_tables.update(small)
+
+            params = {"params": {**dense, "embedder": new_tables}}
+            state = SparseTrainState(params=params, dense_opt=dense_opt,
+                                     emb_mu=new_mu, emb_nu=new_nu, step=state.step + 1)
+            return (state, rng), loss
+
+        (state, rng), losses = jax.lax.scan(body, (state, rng), idx_chunk)
+        return state, rng, losses[-1]
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
 class DSSMTrainer:
     """Two-tower trainer with per-epoch retrieval eval.
 
@@ -79,6 +164,8 @@ class DSSMTrainer:
     ``negative_sample_rate``, ``temperature``, ``loss`` (infonce|triplet),
     ``margin``.
     """
+
+    DEVICE_RESIDENT_BYTES = 2 << 30   # datasets up to 2 GB live in HBM
 
     def __init__(self, cfg: Config, model: DSSM, workdir: Optional[str] = None,
                  negative_sample_rate: Optional[int] = None,
@@ -104,14 +191,38 @@ class DSSMTrainer:
         self.encode_item = jax.jit(partial(model.apply, method=DSSM.item_embedding))
         self.global_step = 0
 
-    def init_state(self, sample_batch) -> TrainState:
+    @property
+    def sparse_embeddings(self) -> bool:
+        return self.cfg.train_hparams.embedding_optimizer in (
+            "sparse_adamw", "rowwise_adagrad")
+
+    def init_state(self, sample_batch):
         params = self.model.init(jax.random.PRNGKey(self.cfg.train_hparams.seed),
                                  jax.device_put(sample_batch))
+        if self.sparse_embeddings:
+            from .sparse_step import init_sparse_state, make_dense_tx
+            return init_sparse_state(params, self.cfg, make_dense_tx(self.cfg),
+                                     self.model.tables)
         return TrainState.create(apply_fn=self.model.apply, params=params,
                                  tx=make_optimizer(self.cfg))
 
+    def _chunk_runner(self, layout_key, bs):
+        # cache per (layout, batch): a fresh jax.jit wrapper per fit() call
+        # would recompile every epoch range
+        if not hasattr(self, "_runners"):
+            self._runners = {}
+        key = (layout_key, bs, self.sparse_embeddings)
+        if key not in self._runners:
+            if self.sparse_embeddings:
+                self._runners[key] = make_dssm_sparse_chunk_fn(
+                    self.model, layout_key, bs, self.cfg, *self._loss_args)
+            else:
+                self._runners[key] = make_dssm_chunk_fn(
+                    self.model, layout_key, bs, *self._loss_args)
+        return self._runners[key]
+
     def fit(self, train_ds: PackedDataset, epochs: Optional[int] = None,
-            state: Optional[TrainState] = None) -> TrainState:
+            state=None):
         hp = self.cfg.train_hparams
         epochs = epochs if epochs is not None else hp.max_epoch
         if state is None:
@@ -123,15 +234,13 @@ class DSSMTrainer:
         packer = getattr(train_ds, "_packer_cache", None) or BatchPacker(train_ds)
         train_ds._packer_cache = packer
         device_resident = (
-            len(jax.devices()) >= 1
-            and packer.int_mat.nbytes + packer.float_mat.nbytes <= (2 << 30)
+            packer.int_mat.nbytes + packer.float_mat.nbytes
+            <= self.DEVICE_RESIDENT_BYTES
         )
-        if device_resident:
-            if not hasattr(packer, "_dssm_dev"):
-                packer._dssm_dev = (jax.device_put(packer.int_mat),
-                                    jax.device_put(packer.float_mat))
-            int_dev, float_dev = packer._dssm_dev
-            run = make_dssm_chunk_fn(self.model, packer.layout_key(), bs, *self._loss_args)
+        if device_resident and not hasattr(packer, "_dssm_dev"):
+            packer._dssm_dev = (jax.device_put(packer.int_mat),
+                                jax.device_put(packer.float_mat))
+        run = self._chunk_runner(packer.layout_key(), bs)
         from .trainer import Trainer
         chunk_steps = Trainer.CHUNK_STEPS
         for epoch in range(epochs):
@@ -139,26 +248,26 @@ class DSSMTrainer:
                 logger.info(f"Reached max_step={hp.max_step}; stopping.")
                 break
             last = None
-            if device_resident:
-                perm_rng = np.random.default_rng(
-                    np.random.SeedSequence([self.cfg.dataset.shuffle_seed, epoch]))
-                nb = min(packer.n // bs, hp.max_step - self.global_step)
-                idx_all = perm_rng.permutation(packer.n)[: nb * bs].reshape(nb, bs).astype(np.int32)
-                pos = 0
-                while pos < nb:
-                    c = min(chunk_steps, nb - pos)
-                    state, rng, last = run(state, rng, int_dev, float_dev,
-                                           jax.device_put(idx_all[pos : pos + c]))
-                    pos += c
-                    self.global_step += c
-            else:
-                for batch in iterate_batches(train_ds, bs, shuffle=True,
-                                             seed=self.cfg.dataset.shuffle_seed,
-                                             epoch=epoch):
-                    if self.global_step >= hp.max_step:
-                        break
-                    state, rng, last = self.train_step(state, rng, jax.device_put(batch))
-                    self.global_step += 1
+            perm_rng = np.random.default_rng(
+                np.random.SeedSequence([self.cfg.dataset.shuffle_seed, epoch]))
+            nb = min(packer.n // bs, hp.max_step - self.global_step)
+            order = perm_rng.permutation(packer.n)[: nb * bs]
+            pos = 0
+            while pos < nb:
+                c = min(chunk_steps, nb - pos)
+                if device_resident:
+                    int_dev, float_dev = packer._dssm_dev
+                    idx = order[pos * bs : (pos + c) * bs].reshape(c, bs).astype(np.int32)
+                else:
+                    # slab-streamed: host gathers the chunk's rows, identity idx
+                    slab = order[pos * bs : (pos + c) * bs]
+                    int_dev = jax.device_put(packer.int_mat[slab])
+                    float_dev = jax.device_put(packer.float_mat[slab])
+                    idx = np.arange(c * bs, dtype=np.int32).reshape(c, bs)
+                state, rng, last = run(state, rng, int_dev, float_dev,
+                                       jax.device_put(idx))
+                pos += c
+                self.global_step += c
             if last is not None:
                 logger.info(f"dssm epoch {epoch}: loss={float(jax.device_get(last)):.4f}")
             else:

@@ -296,6 +296,114 @@ def sparse_state_shardings(state: SparseTrainState, mesh):
     )
 
 
+def gather_large_rows(schema, batch, tables, large) -> Dict[str, jnp.ndarray]:
+    """Per-feature gathered LARGE-table rows (outside differentiation);
+    bf16-stored rows upcast right after the gather."""
+    rows = {}
+    for spec in schema.specs:
+        if spec.kind in (SPARSE, ARRAY) and spec.table in large:
+            rows[spec.name] = jnp.take(
+                tables[spec.table], batch[spec.name], axis=0).astype(jnp.float32)
+    return rows
+
+
+def fields_from_rows(schema, batch, rows, small_tbls, large, unpooled=()):
+    """Build the per-field embedding list (schema order) from gathered
+    large-table rows + small tables; returns (fields, masks-for-unpooled).
+
+    Mirrors ``EmbeddingCollection.embed_fields`` but differentiates w.r.t.
+    the GATHERED rows (``rows``) instead of the tables."""
+    fields, masks = [], {}
+    for spec in schema.specs:
+        if spec.kind == DENSE:
+            fields.append(batch[spec.name].astype(jnp.float32)[:, None])
+            continue
+        ids = batch[spec.name]
+        if spec.table in large:
+            r = rows[spec.name]
+        else:  # small table: differentiate the gather directly
+            r = jnp.take(small_tbls[spec.table], ids, axis=0)
+        r = r * (ids != 0).astype(jnp.float32)[..., None]
+        if spec.kind == ARRAY:
+            mask = batch.get(f"{spec.name}_mask")
+            if mask is None:
+                mask = (ids != 0)
+            if spec.name in unpooled:
+                masks[spec.name] = mask.astype(jnp.float32)
+            else:
+                m = mask.astype(jnp.float32)[..., None]
+                r = (r * m).sum(axis=1) / (m.sum(axis=1) + EPS_POOL)
+        fields.append(r)
+    return fields, masks
+
+
+def make_table_updater(cfg: Config, tables_spec, mesh=None):
+    """Closure applying the configured rowwise optimizer to the large tables.
+
+    Returns ``update(tables, emb_mu, emb_nu, per_table, step, lr_t) ->
+    (new_tables, new_mu, new_nu)`` where ``per_table`` maps table name to a
+    list of (flat ids, flat row-grads) pairs from the features sharing it.
+    """
+    hp = cfg.train_hparams
+    adagrad = hp.embedding_optimizer == "rowwise_adagrad"
+    table_vocab = dict(tables_spec)
+    model_parallel = (mesh is not None and "model" in mesh.axis_names
+                      and mesh.shape["model"] > 1)
+    if model_parallel:
+        spare = {t: int(OOB_ROW) for t in table_vocab}
+        sharded_update = (make_sharded_adagrad_update(mesh) if adagrad
+                          else make_sharded_rowwise_update(mesh))
+    else:
+        spare = {t: padded_vocab(v) - 1 for t, (v, d) in table_vocab.items()}
+        sharded_update = None
+
+    def update(tables, emb_mu, emb_nu, per_table, step, lr_t):
+        step1 = step + 1
+        new_tables, new_mu, new_nu = dict(tables), dict(emb_mu), dict(emb_nu)
+        step_key = jax.random.fold_in(jax.random.PRNGKey(hp.seed), step)
+        for ti, (tname, pairs) in enumerate(sorted(per_table.items())):
+            ids_all = jnp.concatenate([p[0] for p in pairs])
+            g_all = jnp.concatenate([p[1] for p in pairs])
+            rows, grads, _ = _dedup_rows(ids_all, g_all, spare[tname])
+            tkey = jax.random.fold_in(step_key, ti)
+            if adagrad:
+                if sharded_update is not None:
+                    new_tables[tname], new_mu[tname] = sharded_update(
+                        tables[tname], emb_mu[tname], rows, grads, lr_t, key=tkey)
+                else:
+                    new_tables[tname], new_mu[tname] = rowwise_adagrad_update(
+                        tables[tname], emb_mu[tname], rows, grads, lr_t, key=tkey)
+            elif sharded_update is not None:
+                new_tables[tname], new_mu[tname], new_nu[tname] = sharded_update(
+                    tables[tname], emb_mu[tname], emb_nu[tname],
+                    rows, grads, lr_t, step1, hp.b1, hp.b2, 1e-8, hp.weight_decay,
+                    key=tkey)
+            else:
+                new_tables[tname], new_mu[tname], new_nu[tname] = rowwise_adam_update(
+                    tables[tname], emb_mu[tname], emb_nu[tname],
+                    rows, grads, lr_t, step1, hp.b1, hp.b2, 1e-8, hp.weight_decay,
+                    key=tkey)
+        return new_tables, new_mu, new_nu
+
+    return update
+
+
+def collect_per_table(schema, batch, row_grads, large) -> Dict[str, list]:
+    """Group flat (ids, row-grad) pairs by table for features in ``schema``
+    whose rows were differentiated (accumulates into an existing dict when
+    chained over multiple schemas)."""
+    per_table: Dict[str, list] = {}
+    for spec in schema.specs:
+        if spec.kind not in (SPARSE, ARRAY) or spec.table not in large:
+            continue
+        if spec.name not in row_grads:
+            continue
+        ids = batch[spec.name].reshape(-1)
+        g = row_grads[spec.name].reshape(-1, row_grads[spec.name].shape[-1])
+        per_table.setdefault(spec.table, []).append((ids, g))
+    return per_table
+
+
 def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=None):
     """Chunked (lax.scan) train fn with rowwise embedding updates.
 
@@ -312,22 +420,12 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
             "use embedding_optimizer=adamw for this model."
         )
     hp = cfg.train_hparams
-    adagrad = hp.embedding_optimizer == "rowwise_adagrad"
     sched = hold_cosine_floor(hp.lr, hp.min_lr, hp.lr_milestones)
     dense_tx = make_dense_tx(cfg)
     schema = model.schema
-    table_vocab = dict(model.tables)        # table -> (vocab, dim)
-    model_parallel = (mesh is not None and "model" in mesh.axis_names
-                      and mesh.shape["model"] > 1)
-    if model_parallel:
-        # foreign/inactive slots must fall outside EVERY shard's local range
-        spare = {t: int(OOB_ROW) for t in table_vocab}
-        sharded_update = (make_sharded_adagrad_update(mesh) if adagrad
-                          else make_sharded_rowwise_update(mesh))
-    else:
-        spare = {t: padded_vocab(v) - 1 for t, (v, d) in table_vocab.items()}
-        sharded_update = None
     large = _large_tables(model.tables)
+    table_update = make_table_updater(cfg, model.tables, mesh)
+    unpooled = set(getattr(model, "unpooled_arrays", ()) or ())
 
     def run(state: SparseTrainState, hist: AucHist, int_mat, float_mat, idx_chunk):
         ones = jnp.ones(batch_size, jnp.float32)
@@ -343,44 +441,13 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
             dense = {k: v for k, v in inner.items() if k != "embedder"}
             small = {k: v for k, v in tables.items() if k not in large}
 
-            # gather LARGE-table rows per feature (outside differentiation);
-            # bf16-stored rows upcast right after the gather so all gradient
-            # math is fp32
-            rows_in = {}
-            for spec in schema.specs:
-                if spec.kind in (SPARSE, ARRAY) and spec.table in large:
-                    rows_in[spec.name] = jnp.take(
-                        tables[spec.table], batch[spec.name], axis=0
-                    ).astype(jnp.float32)
-
+            rows_in = gather_large_rows(schema, batch, tables, large)
             labels = batch["label"][:, 0]
             weights = batch.get("_valid", ones)
 
-            unpooled = set(getattr(model, "unpooled_arrays", ()) or ())
-
             def loss_from(dense_params, small_tbls, rows):
-                fields = []
-                masks = {}
-                for spec in schema.specs:
-                    if spec.kind == DENSE:
-                        fields.append(batch[spec.name].astype(jnp.float32)[:, None])
-                        continue
-                    ids = batch[spec.name]
-                    if spec.table in large:
-                        r = rows[spec.name]
-                    else:  # small table: differentiate the gather directly
-                        r = jnp.take(small_tbls[spec.table], ids, axis=0)
-                    r = r * (ids != 0).astype(jnp.float32)[..., None]
-                    if spec.kind == ARRAY:
-                        mask = batch.get(f"{spec.name}_mask")
-                        if mask is None:
-                            mask = (ids != 0)
-                        if spec.name in unpooled:
-                            masks[spec.name] = mask.astype(jnp.float32)
-                        else:
-                            m = mask.astype(jnp.float32)[..., None]
-                            r = (r * m).sum(axis=1) / (m.sum(axis=1) + EPS_POOL)
-                    fields.append(r)
+                fields, masks = fields_from_rows(schema, batch, rows,
+                                                 small_tbls, large, unpooled)
                 full = {"params": {**dense_params,
                                    "embedder": jax.tree.map(jax.lax.stop_gradient, tables)}}
                 logits = model.apply(full, fields, masks,
@@ -400,52 +467,16 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
             combined = optax.apply_updates(combined, updates)
             dense, small = combined["dense"], combined["small"]
 
-            # ---- large embedding tables: rowwise Adam over touched unique rows
-            step1 = state.step + 1
+            # ---- large embedding tables: rowwise update on touched rows
             lr_t = sched(state.step)
-            per_table: Dict[str, list] = {}
-            for spec in schema.specs:
-                if spec.kind not in (SPARSE, ARRAY) or spec.table not in large:
-                    continue
-                ids = batch[spec.name].reshape(-1)
-                g = row_g[spec.name].reshape(-1, row_g[spec.name].shape[-1])
-                per_table.setdefault(spec.table, []).append((ids, g))
-
-            new_tables, new_mu, new_nu = dict(tables), dict(state.emb_mu), dict(state.emb_nu)
+            per_table = collect_per_table(schema, batch, row_g, large)
+            new_tables, new_mu, new_nu = table_update(
+                tables, state.emb_mu, state.emb_nu, per_table, state.step, lr_t)
             new_tables.update(small)
-            # per-step key for stochastic bf16 write-back (constant-folded
-            # base key; fold_in(step) decorrelates steps, fold_in(ti) tables)
-            step_key = jax.random.fold_in(jax.random.PRNGKey(hp.seed), state.step)
-            for ti, (tname, pairs) in enumerate(sorted(per_table.items())):
-                ids_all = jnp.concatenate([p[0] for p in pairs])
-                g_all = jnp.concatenate([p[1] for p in pairs])
-                rows, grads, _ = _dedup_rows(ids_all, g_all, spare[tname])
-                tkey = jax.random.fold_in(step_key, ti)
-                if adagrad:
-                    if sharded_update is not None:
-                        new_tables[tname], new_mu[tname] = sharded_update(
-                            tables[tname], state.emb_mu[tname], rows, grads,
-                            lr_t, key=tkey)
-                    else:
-                        new_tables[tname], new_mu[tname] = rowwise_adagrad_update(
-                            tables[tname], state.emb_mu[tname], rows, grads,
-                            lr_t, key=tkey)
-                elif sharded_update is not None:
-                    new_tables[tname], new_mu[tname], new_nu[tname] = sharded_update(
-                        tables[tname], state.emb_mu[tname], state.emb_nu[tname],
-                        rows, grads, lr_t, step1, hp.b1, hp.b2, 1e-8, hp.weight_decay,
-                        key=tkey,
-                    )
-                else:
-                    new_tables[tname], new_mu[tname], new_nu[tname] = rowwise_adam_update(
-                        tables[tname], state.emb_mu[tname], state.emb_nu[tname],
-                        rows, grads, lr_t, step1, hp.b1, hp.b2, 1e-8, hp.weight_decay,
-                        key=tkey,
-                    )
 
             params = {"params": {**dense, "embedder": new_tables}}
             state = SparseTrainState(params=params, dense_opt=dense_opt,
-                                     emb_mu=new_mu, emb_nu=new_nu, step=step1)
+                                     emb_mu=new_mu, emb_nu=new_nu, step=state.step + 1)
             probs = jax.nn.sigmoid(logits)
             hist = binned_auc_update(hist, probs, labels, weights)
             return (state, hist), loss
