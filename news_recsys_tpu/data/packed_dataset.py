@@ -41,7 +41,14 @@ class PackedDataset:
     @classmethod
     def load(cls, path: str) -> "PackedDataset":
         with np.load(path) as z:
-            return cls({k: z[k] for k in z.files})
+            arrays = {}
+            for k in z.files:
+                v = z[k]
+                # masks are stored uint8 at rest (feature_extraction._save_npz)
+                if k.endswith("_mask") and v.dtype != np.float32:
+                    v = v.astype(np.float32)
+                arrays[k] = v
+            return cls(arrays)
 
     @classmethod
     def from_text(cls, path: str, cfg: Config, native: bool = True) -> "PackedDataset":

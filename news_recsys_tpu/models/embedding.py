@@ -135,6 +135,11 @@ class EmbeddingCollection(nn.Module):
             if spec.kind == DENSE:
                 parts.append(val.astype(jnp.float32)[:, None])
             elif spec.kind == SPARSE:
+                if val.ndim != 1:
+                    raise ValueError(
+                        f"Sparse feature '{spec.name}' has {val.ndim}-D input "
+                        f"{val.shape}; sequence features must be declared in "
+                        "features.array_feature_names (with array_max_length).")
                 parts.append(self.lookup(spec.table, val))
             elif spec.kind == ARRAY:
                 emb = self.lookup(spec.table, val)               # (B, L, D)
