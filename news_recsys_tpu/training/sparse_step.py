@@ -337,6 +337,55 @@ def fields_from_rows(schema, batch, rows, small_tbls, large, unpooled=()):
     return fields, masks
 
 
+def _joint_dedup(per_table, table_vocab, spare):
+    """Sort-dedup the touched ids of ALL large tables in ONE joint sort.
+
+    A TPU sort costs O(log^2 n) bitonic stages with a large fixed cost per
+    stage at these sizes, so one sort of the combined slot count beats one
+    sort per table (measured: two 512-slot sorts ~38 us/step vs one
+    1024-slot sort ~24 us on v5e-class hardware). Ids are offset into
+    disjoint per-table ranges (padding id 0 stays 0), grads are
+    zero-padded to the widest table dim, and after the shared dedup each
+    table re-localizes its rows; slots belonging to OTHER tables route to
+    that table's spare row (non-sharded: an unused padding row above the
+    real vocab; sharded: ``OOB_ROW``, dropped on write by JAX scatter
+    semantics). Returns {table: (rows, grads)} ready to scatter.
+    """
+    names = sorted(per_table)
+    if not names:
+        return {}
+    flat = {}
+    for tname in names:
+        pairs = per_table[tname]
+        flat[tname] = (jnp.concatenate([p[0] for p in pairs]),
+                       jnp.concatenate([p[1] for p in pairs]))
+    if len(names) == 1:
+        t = names[0]
+        rows, grads, _ = _dedup_rows(*flat[t], spare[t])
+        return {t: (rows, grads)}
+    dmax = max(g.shape[-1] for _, g in flat.values())
+    offsets, off = {}, 0
+    joint_ids, joint_g = [], []
+    for tname in names:
+        ids, g = flat[tname]
+        offsets[tname] = off
+        joint_ids.append(jnp.where(ids == 0, 0, ids + off))
+        if g.shape[-1] < dmax:
+            g = jnp.pad(g, ((0, 0), (0, dmax - g.shape[-1])))
+        joint_g.append(g)
+        off += int(table_vocab[tname][0]) + 1
+    assert off < 2**29, "joint id space must stay below the sort sentinel"
+    rows_j, grads_j, _ = _dedup_rows(
+        jnp.concatenate(joint_ids), jnp.concatenate(joint_g), int(OOB_ROW))
+    out = {}
+    for tname in names:
+        v, d = table_vocab[tname]
+        local = rows_j - offsets[tname]
+        mine = (local >= 1) & (local < v)
+        out[tname] = (jnp.where(mine, local, spare[tname]), grads_j[:, :d])
+    return out
+
+
 def make_table_updater(cfg: Config, tables_spec, mesh=None):
     """Closure applying the configured rowwise optimizer to the large tables.
 
@@ -361,10 +410,8 @@ def make_table_updater(cfg: Config, tables_spec, mesh=None):
         step1 = step + 1
         new_tables, new_mu, new_nu = dict(tables), dict(emb_mu), dict(emb_nu)
         step_key = jax.random.fold_in(jax.random.PRNGKey(hp.seed), step)
-        for ti, (tname, pairs) in enumerate(sorted(per_table.items())):
-            ids_all = jnp.concatenate([p[0] for p in pairs])
-            g_all = jnp.concatenate([p[1] for p in pairs])
-            rows, grads, _ = _dedup_rows(ids_all, g_all, spare[tname])
+        per_table_rows = _joint_dedup(per_table, table_vocab, spare)
+        for ti, (tname, (rows, grads)) in enumerate(sorted(per_table_rows.items())):
             tkey = jax.random.fold_in(step_key, ti)
             if adagrad:
                 if sharded_update is not None:

@@ -256,7 +256,12 @@ class Trainer:
     # -- training ------------------------------------------------------------
 
     DEVICE_RESIDENT_BYTES = 2 << 30   # datasets up to 2 GB live in HBM
-    CHUNK_STEPS = 100                  # train steps fused per dispatch
+    # Train steps fused per dispatch. Each dispatch through a remote-tunnel
+    # TPU backend costs ~28 ms of fixed round-trip latency (measured; a local
+    # chip is ~10-100 us), so the chunk must be large enough to amortize it:
+    # at 1024 the latency adds <30 us/step. Mid-epoch checkpoint cadence
+    # (ckpt_every_steps) caps the effective chunk so boundaries stay exact.
+    CHUNK_STEPS = 1024
 
     def _packer(self, ds: PackedDataset):
         from ..data.packed_dataset import BatchPacker
@@ -294,6 +299,17 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
             return jax.device_put(x, NamedSharding(self.mesh, P()))
         return jax.device_put(x)
+
+    def _chunk_len(self, nb: int, pos: int) -> int:
+        """Next dispatch's step count: CHUNK_STEPS, capped at the epoch end
+        and at the next ckpt_every_steps boundary (so mid-epoch checkpoints
+        land exactly on multiples of the cadence)."""
+        c = min(self.CHUNK_STEPS, nb - pos)
+        every = self.cfg.train_hparams.ckpt_every_steps
+        if every > 0:
+            done = self.global_step - getattr(self, "_last_step_ckpt", 0)
+            c = min(c, max(every - done, 1))
+        return c
 
     def _use_device_resident(self, packer) -> bool:
         if packer.int_mat.nbytes + packer.float_mat.nbytes > self.DEVICE_RESIDENT_BYTES:
@@ -351,11 +367,14 @@ class Trainer:
             nb = min(nb_full - start, hp.max_step - self.global_step)
             idx_all = order[start * bs : (start + nb) * bs].reshape(nb, bs).astype(np.int32)
             run = self._chunked_step(packer.layout_key(), bs)
+            # ONE idx upload per epoch; per-chunk views are device-side
+            # slices (each distinct (pos, c) compiles a trivial slice once).
+            idx_dev = self._put_idx(idx_all) if nb > 0 else None
             pos = 0
             while pos < nb:
-                c = min(self.CHUNK_STEPS, nb - pos)
+                c = self._chunk_len(nb, pos)
                 state, hist, last_loss = run(state, hist, int_dev, float_dev,
-                                             self._put_idx(idx_all[pos : pos + c]))
+                                             idx_dev[pos : pos + c])
                 pos += c
                 self.global_step += c
                 n_steps += c
@@ -376,7 +395,7 @@ class Trainer:
             run = self._chunked_step(packer.layout_key(), bs)
             pos = 0
             while pos < nb:
-                c = min(self.CHUNK_STEPS, nb - pos)
+                c = self._chunk_len(nb, pos)
                 slab_rows = order[(start + pos) * bs : (start + pos + c) * bs]
                 im = packer.int_mat[slab_rows]
                 fm = packer.float_mat[slab_rows]
@@ -427,13 +446,13 @@ class Trainer:
             idx = np.arange(nb * bs, dtype=np.int32)
             idx[packer.n :] = packer.n - 1                     # tail padding
             run = self._chunked_eval_fn(packer.layout_key(), bs)
+            idx_dev = self._put_idx(idx.reshape(nb, bs))       # ONE upload
             scores = []
             pos = 0
             while pos < nb:
                 c = min(self.CHUNK_STEPS, nb - pos)
-                chunk = idx[pos * bs : (pos + c) * bs].reshape(c, bs)
                 scores.append(np.asarray(run(params, int_dev, float_dev,
-                                             self._put_idx(chunk))))
+                                             idx_dev[pos : pos + c])))
                 pos += c
             return np.concatenate(scores)[: packer.n]
         # slab-streamed eval for datasets too large for HBM
