@@ -83,6 +83,15 @@ class TrainHParams:
     device: str = "tpu"           # reference compat ("gpu" accepted, ignored)
     gpus: Tuple[int, ...] = ()    # reference compat, ignored
     log_every_n_steps: int = 50
+    # Runtime thresholds (previously Trainer class attributes):
+    # max train steps fused per device dispatch (lax.scan length); large
+    # values amortize the ~28 ms remote-tunnel dispatch latency.
+    chunk_steps: int = 1024
+    # packed datasets up to this many bytes are uploaded to HBM once and
+    # trained device-resident; larger ones stream host-gathered slabs. The
+    # slab path's chunk is additionally capped so one slab never exceeds
+    # this budget.
+    device_resident_bytes: int = 2 << 30
 
 
 @dataclass(frozen=True)

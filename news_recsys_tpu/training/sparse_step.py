@@ -382,7 +382,12 @@ def _joint_dedup(per_table, table_vocab, spare):
         v, d = table_vocab[tname]
         local = rows_j - offsets[tname]
         mine = (local >= 1) & (local < v)
-        out[tname] = (jnp.where(mine, local, spare[tname]), grads_j[:, :d])
+        # zero foreign/inactive slots' gradients: they route to this table's
+        # spare row, which must keep _dedup_rows' "inactive slots carry zero
+        # gradient" contract (otherwise the non-sharded spare padding row and
+        # its optimizer accumulator silently integrate other tables' grads)
+        out[tname] = (jnp.where(mine, local, spare[tname]),
+                      jnp.where(mine[:, None], grads_j[:, :d], 0.0))
     return out
 
 

@@ -199,6 +199,8 @@ class Trainer:
         self.train_step = make_train_step(model, self.mesh)
         self.eval_step = make_eval_step(model)
         self.global_step = 0
+        self.chunk_steps = cfg.train_hparams.chunk_steps
+        self.device_resident_bytes = cfg.train_hparams.device_resident_bytes
 
     # -- setup ---------------------------------------------------------------
 
@@ -255,13 +257,13 @@ class Trainer:
 
     # -- training ------------------------------------------------------------
 
-    DEVICE_RESIDENT_BYTES = 2 << 30   # datasets up to 2 GB live in HBM
-    # Train steps fused per dispatch. Each dispatch through a remote-tunnel
-    # TPU backend costs ~28 ms of fixed round-trip latency (measured; a local
-    # chip is ~10-100 us), so the chunk must be large enough to amortize it:
-    # at 1024 the latency adds <30 us/step. Mid-epoch checkpoint cadence
-    # (ckpt_every_steps) caps the effective chunk so boundaries stay exact.
-    CHUNK_STEPS = 1024
+    # Runtime thresholds come from config (train_hparams.chunk_steps /
+    # .device_resident_bytes), set as instance attrs in __init__. Each
+    # dispatch through a remote-tunnel TPU backend costs ~28 ms of fixed
+    # round-trip latency (measured; a local chip is ~10-100 us), so the
+    # chunk must be large enough to amortize it: at 1024 steps the latency
+    # adds <30 us/step. Mid-epoch checkpoint cadence (ckpt_every_steps)
+    # caps the effective chunk so boundaries stay exact.
 
     def _packer(self, ds: PackedDataset):
         from ..data.packed_dataset import BatchPacker
@@ -300,19 +302,27 @@ class Trainer:
             return jax.device_put(x, NamedSharding(self.mesh, P()))
         return jax.device_put(x)
 
-    def _chunk_len(self, nb: int, pos: int) -> int:
-        """Next dispatch's step count: CHUNK_STEPS, capped at the epoch end
+    def _chunk_len(self, nb: int, pos: int, cap: Optional[int] = None) -> int:
+        """Next dispatch's step count: chunk_steps (optionally capped at
+        ``cap``, e.g. the slab path's HBM budget), capped at the epoch end
         and at the next ckpt_every_steps boundary (so mid-epoch checkpoints
         land exactly on multiples of the cadence)."""
-        c = min(self.CHUNK_STEPS, nb - pos)
+        c = min(cap or self.chunk_steps, self.chunk_steps, nb - pos)
         every = self.cfg.train_hparams.ckpt_every_steps
         if every > 0:
             done = self.global_step - getattr(self, "_last_step_ckpt", 0)
             c = min(c, max(every - done, 1))
         return c
 
+    def _slab_chunk_cap(self, packer, bs: int) -> int:
+        """Max steps per slab so one host-gathered slab (c*bs rows) stays
+        within the device_resident_bytes budget that forced slab streaming
+        in the first place."""
+        row_bytes = (packer.int_mat.nbytes + packer.float_mat.nbytes) / max(packer.n, 1)
+        return max(1, int(self.device_resident_bytes // max(1.0, row_bytes * bs)))
+
     def _use_device_resident(self, packer) -> bool:
-        if packer.int_mat.nbytes + packer.float_mat.nbytes > self.DEVICE_RESIDENT_BYTES:
+        if packer.int_mat.nbytes + packer.float_mat.nbytes > self.device_resident_bytes:
             return False
         if self.mesh is not None and self.cfg.dataset.batch_size % self.mesh.shape["data"] != 0:
             return False
@@ -383,9 +393,10 @@ class Trainer:
             loss_sum = float(last_loss) if last_loss is not None else 0.0
         else:
             # Slab-streamed path for datasets too large for HBM: the host
-            # gathers a contiguous CHUNK_STEPS*bs-row slab per dispatch and
+            # gathers a contiguous chunk_steps*bs-row slab per dispatch and
             # the SAME chunked scan fn runs over it with identity indices —
-            # one upload per chunk of steps instead of one per step.
+            # one upload per chunk of steps instead of one per step. The
+            # chunk is capped so a slab never exceeds the HBM budget.
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.cfg.dataset.shuffle_seed, epoch]))
             order = rng.permutation(packer.n)
@@ -393,9 +404,10 @@ class Trainer:
             start = min(skip_steps, nb_full)
             nb = min(nb_full - start, hp.max_step - self.global_step)
             run = self._chunked_step(packer.layout_key(), bs)
+            slab_cap = self._slab_chunk_cap(packer, bs)
             pos = 0
             while pos < nb:
-                c = self._chunk_len(nb, pos)
+                c = self._chunk_len(nb, pos, cap=slab_cap)
                 slab_rows = order[(start + pos) * bs : (start + pos + c) * bs]
                 im = packer.int_mat[slab_rows]
                 fm = packer.float_mat[slab_rows]
@@ -450,7 +462,7 @@ class Trainer:
             scores = []
             pos = 0
             while pos < nb:
-                c = min(self.CHUNK_STEPS, nb - pos)
+                c = min(self.chunk_steps, nb - pos)
                 scores.append(np.asarray(run(params, int_dev, float_dev,
                                              idx_dev[pos : pos + c])))
                 pos += c
@@ -460,10 +472,11 @@ class Trainer:
         pad_idx = np.arange(nb * bs, dtype=np.int64)
         pad_idx[packer.n :] = packer.n - 1
         run = self._chunked_eval_fn(packer.layout_key(), bs)
+        slab_cap = self._slab_chunk_cap(packer, bs)
         scores = []
         pos = 0
         while pos < nb:
-            c = min(self.CHUNK_STEPS, nb - pos)
+            c = min(self.chunk_steps, slab_cap, nb - pos)
             slab_rows = pad_idx[pos * bs : (pos + c) * bs]
             im = packer.int_mat[slab_rows]
             fm = packer.float_mat[slab_rows]
@@ -539,8 +552,19 @@ class Trainer:
         restored = mgr.restore({f: getattr(state, f) for f in fields})
         state = state.replace(**restored)
         self.global_step = int(np.asarray(state.step))
+        self._reset_step_ckpt_origin()
         logger.info(f"Restored checkpoint at step {self.global_step}")
         return state, True
+
+    def _reset_step_ckpt_origin(self) -> None:
+        """Re-anchor the mid-epoch checkpoint cadence after a restore: later
+        checkpoints must land on ckpt_every_steps multiples counted from 0,
+        not from the (default-0) pre-restore counter — otherwise the first
+        post-resume chunk is forced to 1 step (fresh scan shape = full
+        recompile) and an immediately-redundant checkpoint is written."""
+        every = self.cfg.train_hparams.ckpt_every_steps
+        self._last_step_ckpt = ((self.global_step // every) * every
+                                if every > 0 else self.global_step)
 
     def save_checkpoint(self, state, epoch: int) -> str:
         path = os.path.join(self.ckpt_dir, f"epoch_{epoch:03d}.msgpack")
@@ -557,6 +581,7 @@ class Trainer:
             blob = f.read()
         state = serialization.from_bytes(jax.device_get(state), blob)
         self.global_step = int(np.asarray(state.step))
+        self._reset_step_ckpt_origin()
         if self.mesh is not None and isinstance(state, TrainState):
             state = jax.device_put(state, param_shardings_for_state(state, self.mesh))
         return state

@@ -125,14 +125,33 @@ def test_mid_epoch_periodic_checkpoint(tmp_path):
     import dataclasses
     cfg = make_cfg()
     cfg = dataclasses.replace(cfg, train_hparams=dataclasses.replace(
-        cfg.train_hparams, ckpt_every_steps=2))
+        cfg.train_hparams, ckpt_every_steps=2,
+        chunk_steps=2))  # checkpoint opportunity every 2 steps
     ds = make_ds(n=512)  # 8 steps of 64
     model = build_ranker(cfg, "deep")
     t = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
-    t.CHUNK_STEPS = 2  # checkpoint opportunity every 2 steps
     s = t.fit(ds, max_epochs=1)
     steps = t.checkpoint_manager().all_steps()
     assert list(steps) == [2, 4, 6, 8]
+
+
+def test_resume_keeps_ckpt_cadence(tmp_path):
+    """Post-resume mid-epoch checkpoints keep landing on ckpt_every_steps
+    multiples (regression: _last_step_ckpt defaulted to 0 after restore,
+    forcing a 1-step chunk + an immediate redundant checkpoint)."""
+    import dataclasses
+    cfg = make_cfg()
+    cfg = dataclasses.replace(cfg, train_hparams=dataclasses.replace(
+        cfg.train_hparams, ckpt_every_steps=3, chunk_steps=8))
+    ds = make_ds(n=512)  # 8 steps/epoch at bs=64
+    model = build_ranker(cfg, "deep")
+    t = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    t.fit(ds, max_epochs=1)  # checkpoints at steps 3, 6
+    assert list(t.checkpoint_manager().all_steps()) == [3, 6]
+
+    t2 = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    t2.fit(ds, max_epochs=2, resume=True)  # resumes at step 6, runs to 16
+    assert list(t2.checkpoint_manager().all_steps()) == [3, 6, 9, 12, 15]
 
 
 def test_mid_epoch_resume_exact_data_order(tmp_path):
@@ -147,13 +166,7 @@ def test_mid_epoch_resume_exact_data_order(tmp_path):
     s_ref = t_ref.fit(ds, max_epochs=2)
     p_ref = t_ref.predict(s_ref.params, ds)
 
-    # interrupted: stop after 1.5 epochs (12 steps), checkpoint, resume
-    t_a = Trainer(cfg, model, workdir=str(tmp_path / "a"), use_mesh=False)
-    t_a.CHUNK_STEPS = 4
-    s_a = t_a.fit(ds, max_epochs=1)          # epoch 0 complete (8 steps)
-    s_a, _ = t_a.train_epoch(s_a, ds, epoch=1)  # ... run epoch 1 fully? no:
-    # instead simulate mid-epoch kill: rewind to a 12-step checkpoint
-    # train epoch 1 only partially by capping max_step
+    # interrupted: simulate a mid-epoch kill at step 12 by capping max_step
     import dataclasses
     cfg_cap = dataclasses.replace(cfg, train_hparams=dataclasses.replace(
         cfg.train_hparams, max_step=12))

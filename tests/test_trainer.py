@@ -95,6 +95,34 @@ def test_checkpoint_roundtrip(data_dir, tmp_path):
     np.testing.assert_allclose(scores_before, scores_after, rtol=1e-6)
 
 
+def test_slab_streaming_matches_device_resident(data_dir, tmp_path):
+    """A device_resident_bytes budget too small for the dataset forces the
+    slab-streamed path (with the per-slab cap); results must be identical to
+    the device-resident path."""
+    import dataclasses
+    cfg = make_cfg(data_dir, "deep", max_epoch=1)
+    train, dev, warm = _load(data_dir, cfg)
+    model = build_ranker(cfg, "deep")
+
+    t_res = Trainer(cfg, model, workdir=str(tmp_path / "r"), use_mesh=False)
+    s_res = t_res.fit(train, max_epochs=1)
+
+    # budget ≈ 3 batches of rows -> slab path, slab cap of a few steps
+    per_row = sum(v.nbytes for v in train.arrays.values()) / len(train)
+    cfg_slab = dataclasses.replace(cfg, train_hparams=dataclasses.replace(
+        cfg.train_hparams,
+        device_resident_bytes=int(per_row * cfg.dataset.batch_size * 3)))
+    t_slab = Trainer(cfg_slab, model, workdir=str(tmp_path / "s"), use_mesh=False)
+    packer = t_slab._packer(train)
+    assert not t_slab._use_device_resident(packer)
+    assert 1 <= t_slab._slab_chunk_cap(packer, cfg.dataset.batch_size) <= 4
+    s_slab = t_slab.fit(train, max_epochs=1)
+
+    p1 = t_res.predict(s_res.params, dev)
+    p2 = t_slab.predict(s_slab.params, dev)
+    np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
 def test_data_parallel_mesh_matches_single_device(data_dir, tmp_path):
     """DP over 8 CPU devices must give the same numbers as single-device."""
     cfg = make_cfg(data_dir, "deep", max_epoch=1, batch_size=64)
