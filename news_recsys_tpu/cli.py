@@ -58,7 +58,8 @@ def cmd_train(args):
     model = build_ranker(cfg, name)
     trainer = Trainer(cfg, model, workdir=args.workdir)
     logger.info(f"Training '{name}' -> {trainer.log_dir}")
-    trainer.fit(train_ds, dev_ds, warm_user_set=warm, max_epochs=args.epochs)
+    trainer.fit(train_ds, dev_ds, warm_user_set=warm, max_epochs=args.epochs,
+                resume=args.resume)
     print(f"Experiment dir: {trainer.log_dir}")
 
 
@@ -70,14 +71,20 @@ def _train_dssm(cfg: Config, args, train_ds):
     model = build_dssm(cfg)
     trainer = DSSMTrainer(cfg, model, workdir=args.workdir)
     logger.info(f"Training DSSM -> {trainer.log_dir}")
-    state = trainer.fit(train_ds, epochs=args.epochs)
 
-    # retrieval eval on dev positives with history dedup
+    # retrieval-eval context: dev positives as queries, history dedup —
+    # evaluated at the end of every train epoch (reference cadence,
+    # DSSM/model.py:230-254) and written to val_log.log
     item_ds = PackedDataset.open_split(cfg, "item")
     dev_ds = PackedDataset.open_split(cfg, "dev")
     pos = dev_ds.arrays["label"][:, 0] == 1
     query = PackedDataset({k: v[pos] for k, v in dev_ds.arrays.items()})
     histories = _dev_histories(cfg, pos)
+    trainer.set_eval_data(item_ds, histories=histories, k=10)
+
+    state = trainer.fit(train_ds, dev_ds=query, max_epochs=args.epochs,
+                        resume=args.resume)
+
     res = evaluate_retrieval(trainer, state.params, item_ds, query,
                              target_item_ids=query.arrays["item_id"],
                              histories=histories, k=10)
@@ -168,6 +175,8 @@ def main(argv=None):
     p.add_argument("-m", "--model", default=None, help="override config model name")
     p.add_argument("--workdir", default=None)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the newest Orbax checkpoint in workdir")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("serve", help="HTTP recommendation server from a saved bundle")

@@ -1,16 +1,27 @@
 """DSSM retrieval training + batched ANN evaluation (HR@k / Recall@k).
 
 Replaces the reference's DSSM Lightning loop (``DSSM/train.py``,
-``DSSM/model.py:115-126`` training_step; ``:182-254`` epoch-end faiss eval):
-the eval encodes the full item corpus once, then scores **all** query users
-with one matmul+top_k sweep and applies per-user history dedup on host — vs
-the reference's one-faiss-query-per-user bs=1 loop.
+``DSSM/model.py:115-126`` training_step; ``:182-254`` epoch-end faiss eval)
+with a first-class :class:`DSSMTrainer` sharing the ranking
+:class:`~news_recsys_tpu.training.trainer.Trainer` runtime — same
+device-resident chunked ``lax.scan`` epochs, mesh support (DP batches +
+row-sharded tables), Orbax mid-epoch checkpoints with ``fit(resume=True)``,
+``metrics.jsonl``/TensorBoard scalars, and a per-epoch retrieval validation
+block in ``val_log.log`` (the reference computes HR@10 at the end of every
+train epoch, ``DSSM/model.py:230-254``).
+
+The eval encodes the full item corpus once, then scores **all** query users
+with one matmul+top_k sweep and applies history dedup fully vectorized on
+host — vs the reference's one-faiss-query-per-user bs=1 loop.
+
+Per-step negative-sampling keys are derived with ``fold_in(key, step)``
+rather than threading a split chain, so mid-epoch resume reproduces the
+exact same negatives as an uninterrupted run.
 """
 
 from __future__ import annotations
 
 import os
-import time
 from functools import partial
 from typing import Dict, Optional, Sequence
 
@@ -20,11 +31,11 @@ import numpy as np
 import optax
 
 from ..config import Config
-from ..data.packed_dataset import PackedDataset, iterate_batches
+from ..data.packed_dataset import PackedDataset
 from ..models.dssm import DSSM, dssm_train_loss, _l2
 from ..ops.topk import TopKSearcher
 from ..utils.logging import get_logger
-from .trainer import TrainState, make_optimizer
+from .trainer import Trainer, TrainState
 
 logger = get_logger("retrieval")
 
@@ -32,7 +43,7 @@ logger = get_logger("retrieval")
 def make_dssm_train_step(model: DSSM, negative_sample_rate: int, temperature: float,
                          loss_type: str = "infonce", margin: float = 1.0):
     def step(state: TrainState, rng, batch):
-        rng, sub = jax.random.split(rng)
+        sub = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(
             lambda p: dssm_train_loss(model, p, sub, batch, negative_sample_rate,
                                       temperature, loss_type, margin)
@@ -47,7 +58,7 @@ def make_dssm_chunk_fn(model: DSSM, layout_key, batch_size: int,
                        negative_sample_rate: int, temperature: float,
                        loss_type: str = "infonce", margin: float = 1.0):
     """Device-resident chunked (lax.scan) DSSM training — one dispatch per
-    chunk of steps, rng folded inside the scan."""
+    chunk of steps; the per-step negatives key is ``fold_in(key, step)``."""
     from ..data.packed_dataset import unpack_batch
 
     def run(state: TrainState, rng, int_mat, float_mat, idx_chunk):
@@ -55,7 +66,7 @@ def make_dssm_chunk_fn(model: DSSM, layout_key, batch_size: int,
 
         def body(carry, idx):
             state, rng = carry
-            rng, sub = jax.random.split(rng)
+            sub = jax.random.fold_in(rng, state.step)
             im = jnp.take(int_mat, idx, axis=0)
             fm = jnp.take(float_mat, idx, axis=0)
             batch = unpack_batch(im, fm, ones, layout_key)
@@ -79,7 +90,9 @@ def make_dssm_sparse_chunk_fn(model: DSSM, layout_key, batch_size: int, cfg: Con
     """DSSM chunked training with ROWWISE embedding updates (sparse_adamw or
     rowwise_adagrad): differentiates w.r.t. the gathered user/item table
     rows — the dense (V, D) gradient never exists — and applies the same
-    per-table rowwise optimizer as the ranking path."""
+    per-table rowwise optimizer as the ranking path. With a model-parallel
+    mesh the table scatters run shard-local
+    (:func:`~news_recsys_tpu.training.sparse_step.make_sharded_rowwise_update`)."""
     from ..data.packed_dataset import unpack_batch
     from ..models.dssm import dssm_loss_from_embeddings
     from .sparse_step import (SparseTrainState, _large_tables, collect_per_table,
@@ -99,7 +112,7 @@ def make_dssm_sparse_chunk_fn(model: DSSM, layout_key, batch_size: int, cfg: Con
 
         def body(carry, idx):
             state, rng = carry
-            rng, sub = jax.random.split(rng)
+            sub = jax.random.fold_in(rng, state.step)
             im = jnp.take(int_mat, idx, axis=0)
             fm = jnp.take(float_mat, idx, axis=0)
             batch = unpack_batch(im, fm, ones, layout_key)
@@ -113,8 +126,10 @@ def make_dssm_sparse_chunk_fn(model: DSSM, layout_key, batch_size: int, cfg: Con
                        **gather_large_rows(i_schema, batch, tables, large)}
 
             def loss_from(dense_params, small_tbls, rows):
-                u_fields, _ = fields_from_rows(u_schema, batch, rows, small_tbls, large)
-                i_fields, _ = fields_from_rows(i_schema, batch, rows, small_tbls, large)
+                u_fields, _ = fields_from_rows(u_schema, batch, rows,
+                                               small_tbls, large)
+                i_fields, _ = fields_from_rows(i_schema, batch, rows,
+                                               small_tbls, large)
                 full = {"params": {**dense_params,
                                    "embedder": jax.tree.map(jax.lax.stop_gradient, tables)}}
                 u_emb, i_emb = model.apply(full, u_fields, i_fields,
@@ -156,8 +171,24 @@ def make_dssm_sparse_chunk_fn(model: DSSM, layout_key, batch_size: int, cfg: Con
     return jax.jit(run, donate_argnums=(0,))
 
 
-class DSSMTrainer:
-    """Two-tower trainer with per-epoch retrieval eval.
+def format_retrieval_block(results: Dict[str, float], epoch: int) -> str:
+    """Retrieval counterpart of ``format_validation_block``: one
+    ``Retrieval:`` section per epoch, parseable by ``utils.log_analysis``."""
+    lines = [f"\n{'=' * 20} Epoch {epoch} Validation Results {'=' * 20}",
+             "Retrieval:"]
+    for key in sorted(results):
+        if key == "num_queries":
+            continue
+        lines.append(f"  {key}:    {results[key]:.4f}")
+    lines.append(f"  Queries:  {int(results.get('num_queries', 0))}")
+    lines.append("=" * 60)
+    return "\n".join(lines) + "\n"
+
+
+class DSSMTrainer(Trainer):
+    """Two-tower trainer with per-epoch retrieval eval — a first-class
+    :class:`Trainer`: mesh DP + row-sharded tables, chunked device-resident
+    epochs, Orbax resume, ``metrics.jsonl``/TB logging all inherited.
 
     Hyperparameters come from the config's ``dssm_cfg`` block (the
     reference exposes them as CLI flags, ``DSSM/train.py:11-18``):
@@ -165,9 +196,8 @@ class DSSMTrainer:
     ``margin``.
     """
 
-    DEVICE_RESIDENT_BYTES = 2 << 30   # datasets up to 2 GB live in HBM
-
     def __init__(self, cfg: Config, model: DSSM, workdir: Optional[str] = None,
+                 mesh=None, use_mesh: bool = True, profile_steps: int = 0,
                  negative_sample_rate: Optional[int] = None,
                  temperature: Optional[float] = None):
         dcfg = cfg.extra("dssm_cfg", {}) or {}
@@ -177,116 +207,87 @@ class DSSMTrainer:
             temperature = float(dcfg.get("temperature", 0.1))
         loss_type = str(dcfg.get("loss", "infonce"))
         margin = float(dcfg.get("margin", 1.0))
-        self.cfg = cfg
-        self.model = model
         self.negative_sample_rate = negative_sample_rate
-        ts = time.strftime("%Y%m%d-%H%M%S")
-        self.log_dir = workdir or os.path.join("experiments", f"{cfg.name}_{ts}")
-        self.ckpt_dir = os.path.join(self.log_dir, "ckpts")
-        os.makedirs(self.ckpt_dir, exist_ok=True)
         self._loss_args = (negative_sample_rate, temperature, loss_type, margin)
-        self.train_step = make_dssm_train_step(model, negative_sample_rate, temperature,
-                                               loss_type, margin)
+        super().__init__(cfg, model, workdir=workdir, mesh=mesh,
+                         use_mesh=use_mesh, profile_steps=profile_steps)
+        # replace the ranking (BCE) single step with the two-tower one
+        self.train_step = make_dssm_train_step(model, *self._loss_args)
         self.encode_user = jax.jit(partial(model.apply, method=DSSM.user_embedding))
         self.encode_item = jax.jit(partial(model.apply, method=DSSM.item_embedding))
-        self.global_step = 0
+        self._eval_data: Optional[Dict] = None
 
-    @property
-    def sparse_embeddings(self) -> bool:
-        return self.cfg.train_hparams.embedding_optimizer in (
-            "sparse_adamw", "rowwise_adagrad")
+    # -- epoch carry: a PRNG key for in-batch negatives ----------------------
 
-    def init_state(self, sample_batch):
-        params = self.model.init(jax.random.PRNGKey(self.cfg.train_hparams.seed),
-                                 jax.device_put(sample_batch))
-        if self.sparse_embeddings:
-            from .sparse_step import init_sparse_state, make_dense_tx
-            return init_sparse_state(params, self.cfg, make_dense_tx(self.cfg),
-                                     self.model.tables)
-        return TrainState.create(apply_fn=self.model.apply, params=params,
-                                 tx=make_optimizer(self.cfg))
+    def _epoch_carry(self, epoch: int):
+        key = jax.random.PRNGKey(self.cfg.train_hparams.seed + 1)
+        return self._put_replicated(key)
 
-    def _chunk_runner(self, layout_key, bs):
-        # cache per (layout, batch): a fresh jax.jit wrapper per fit() call
-        # would recompile every epoch range
-        if not hasattr(self, "_runners"):
-            self._runners = {}
-        key = (layout_key, bs, self.sparse_embeddings)
-        if key not in self._runners:
+    def _carry_metrics(self, carry) -> Dict[str, float]:
+        return {}
+
+    def _chunked_step(self, layout_key, batch_size):
+        if not hasattr(self, "_chunked_steps"):
+            self._chunked_steps = {}
+        key = (layout_key, batch_size)
+        if key not in self._chunked_steps:
             if self.sparse_embeddings:
-                self._runners[key] = make_dssm_sparse_chunk_fn(
-                    self.model, layout_key, bs, self.cfg, *self._loss_args)
+                self._chunked_steps[key] = make_dssm_sparse_chunk_fn(
+                    self.model, layout_key, batch_size, self.cfg,
+                    *self._loss_args, mesh=self.mesh)
             else:
-                self._runners[key] = make_dssm_chunk_fn(
-                    self.model, layout_key, bs, *self._loss_args)
-        return self._runners[key]
+                self._chunked_steps[key] = make_dssm_chunk_fn(
+                    self.model, layout_key, batch_size, *self._loss_args)
+        return self._chunked_steps[key]
 
-    def fit(self, train_ds: PackedDataset, epochs: Optional[int] = None,
-            state=None):
-        hp = self.cfg.train_hparams
-        epochs = epochs if epochs is not None else hp.max_epoch
-        if state is None:
-            sample = next(iterate_batches(train_ds, self.cfg.dataset.batch_size, shuffle=False))
-            state = self.init_state(sample)
-        rng = jax.random.PRNGKey(hp.seed + 1)
-        bs = self.cfg.dataset.batch_size
-        from ..data.packed_dataset import BatchPacker
-        packer = getattr(train_ds, "_packer_cache", None) or BatchPacker(train_ds)
-        train_ds._packer_cache = packer
-        device_resident = (
-            packer.int_mat.nbytes + packer.float_mat.nbytes
-            <= self.DEVICE_RESIDENT_BYTES
-        )
-        if device_resident and not hasattr(packer, "_dssm_dev"):
-            packer._dssm_dev = (jax.device_put(packer.int_mat),
-                                jax.device_put(packer.float_mat))
-        run = self._chunk_runner(packer.layout_key(), bs)
-        from .trainer import Trainer
-        chunk_steps = Trainer.CHUNK_STEPS
-        for epoch in range(epochs):
-            if self.global_step >= hp.max_step:
-                logger.info(f"Reached max_step={hp.max_step}; stopping.")
-                break
-            last = None
-            perm_rng = np.random.default_rng(
-                np.random.SeedSequence([self.cfg.dataset.shuffle_seed, epoch]))
-            nb = min(packer.n // bs, hp.max_step - self.global_step)
-            order = perm_rng.permutation(packer.n)[: nb * bs]
-            pos = 0
-            while pos < nb:
-                c = min(chunk_steps, nb - pos)
-                if device_resident:
-                    int_dev, float_dev = packer._dssm_dev
-                    idx = order[pos * bs : (pos + c) * bs].reshape(c, bs).astype(np.int32)
-                else:
-                    # slab-streamed: host gathers the chunk's rows, identity idx
-                    slab = order[pos * bs : (pos + c) * bs]
-                    int_dev = jax.device_put(packer.int_mat[slab])
-                    float_dev = jax.device_put(packer.float_mat[slab])
-                    idx = np.arange(c * bs, dtype=np.int32).reshape(c, bs)
-                state, rng, last = run(state, rng, int_dev, float_dev,
-                                       jax.device_put(idx))
-                pos += c
-                self.global_step += c
-            if last is not None:
-                logger.info(f"dssm epoch {epoch}: loss={float(jax.device_get(last)):.4f}")
-            else:
-                logger.warning(f"dssm epoch {epoch}: no steps ran "
-                               f"(dataset rows {len(train_ds)} < batch_size {bs}?)")
-            self.save_checkpoint(state, epoch)
-        return state
+    # -- retrieval validation --------------------------------------------------
 
-    def save_checkpoint(self, state: TrainState, epoch: int) -> str:
+    def set_eval_data(self, item_ds: PackedDataset,
+                      histories: Optional[Sequence[Sequence[int]]] = None,
+                      k: int = 10) -> None:
+        """Attach the retrieval-eval context used by :meth:`validate`:
+        the item corpus to encode, per-query-row click histories (excluded
+        from candidates), and the cutoff ``k``."""
+        self._eval_data = {"item_ds": item_ds, "histories": histories, "k": k}
+
+    def validate(self, state, ds: PackedDataset, epoch: int,
+                 warm_user_set=None) -> Dict[str, float]:
+        """Per-epoch HR@k over ``ds`` (the positive dev impressions), the
+        reference's epoch-end faiss eval (``DSSM/model.py:230-254``) batched.
+        Requires :meth:`set_eval_data` first."""
+        if self._eval_data is None:
+            logger.warning("DSSMTrainer.validate called without set_eval_data; skipping")
+            return {}
+        ev = self._eval_data
+        histories = ev["histories"]
+        if histories is None:
+            histories = [[] for _ in range(len(ds))]
+        res = evaluate_retrieval(self, state.params, ev["item_ds"], ds,
+                                 target_item_ids=ds.arrays["item_id"],
+                                 histories=histories, k=ev["k"])
+        block = format_retrieval_block(res, epoch)
+        print(block)
+        with open(self.val_log_path, "a") as f:
+            f.write(block)
+        self._log_scalars(self.global_step, epoch=epoch,
+                          **{f"val_{k.lower().replace('@', '_at_')}": v
+                             for k, v in res.items()})
+        return res
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def save_checkpoint(self, state, epoch: int) -> str:
         """Weight-only per-epoch checkpoints, full history (the reference's
         ModelCheckpoint(save_top_k=-1, save_weights_only=True),
-        ``DSSM/train.py:54-60``)."""
+        ``DSSM/train.py:54-60``). Full-state resume uses the inherited Orbax
+        path (``ckpt_every_steps`` + ``fit(resume=True)``)."""
         from flax import serialization
         path = os.path.join(self.ckpt_dir, f"epoch_{epoch:03d}.msgpack")
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(jax.device_get(state.params)))
         return path
 
-    def load_params(self, state: TrainState, path: str):
+    def load_params(self, state, path: str):
         from flax import serialization
         with open(path, "rb") as f:
             restored = serialization.from_bytes(jax.device_get(state.params), f.read())
@@ -304,6 +305,32 @@ class DSSMTrainer:
 
     def encode_users(self, params, ds: PackedDataset) -> np.ndarray:
         return np.asarray(_l2(jnp.asarray(self._encode(params, ds, self.encode_user))))
+
+
+def dedup_hit_rate(retrieved_ids: np.ndarray, target_item_ids: np.ndarray,
+                   histories: Sequence[Sequence[int]], k: int) -> float:
+    """HR@k after removing each row's history from its retrieved list —
+    fully vectorized (no per-row Python loop over queries).
+
+    A retrieved item is *kept* if not in the row's history; the target hits
+    if it appears among the first ``k`` kept items. Membership is tested via
+    a per-row keyed ``np.isin`` (row*base+item composite keys).
+    """
+    q, fetch = retrieved_ids.shape
+    lens = np.fromiter((len(h) for h in histories), np.int64, len(histories))
+    if lens.sum() > 0:
+        flat = np.concatenate([np.asarray(h, np.int64) for h in histories if len(h)])
+        base = int(max(retrieved_ids.max(initial=0), flat.max(initial=0))) + 2
+        row_of = np.repeat(np.arange(q, dtype=np.int64), lens)
+        hist_keys = row_of * base + flat
+        ret_keys = np.arange(q, dtype=np.int64)[:, None] * base + retrieved_ids
+        banned = np.isin(ret_keys, hist_keys)
+    else:
+        banned = np.zeros((q, fetch), bool)
+    kept_rank = np.cumsum(~banned, axis=1) - 1          # rank among kept items
+    is_target = retrieved_ids == np.asarray(target_item_ids, np.int64)[:, None]
+    hits = np.any(is_target & ~banned & (kept_rank < k), axis=1)
+    return float(hits.mean()) if q else 0.0
 
 
 def evaluate_retrieval(
@@ -333,11 +360,6 @@ def evaluate_retrieval(
     idx, _ = searcher.search(users, fetch)
     retrieved_ids = corpus_item_ids[idx]  # (Q, fetch)
 
-    hits = 0
-    for row in range(len(target_item_ids)):
-        hist = set(int(x) for x in histories[row])
-        kept = [int(i) for i in retrieved_ids[row] if int(i) not in hist][:k]
-        if int(target_item_ids[row]) in kept:
-            hits += 1
-    hr = hits / max(1, len(target_item_ids))
+    hr = dedup_hit_rate(retrieved_ids, np.asarray(target_item_ids, np.int64),
+                        histories, k)
     return {f"HR@{k}": hr, "num_queries": len(target_item_ids)}

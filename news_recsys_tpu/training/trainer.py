@@ -349,13 +349,23 @@ class Trainer:
             self._chunked_evals[key] = make_chunked_eval_fn(self.model, layout_key, batch_size)
         return self._chunked_evals[key]
 
+    # Epoch-loop carry hooks. The chunked run fn has signature
+    # (state, carry, int_mat, float_mat, idx_chunk) -> (state, carry, loss);
+    # the ranking trainer carries the on-device AUC histogram, the DSSM
+    # trainer a PRNG key (negatives are derived per-step from it).
+    def _epoch_carry(self, epoch: int):
+        return AucHist.zeros()
+
+    def _carry_metrics(self, carry) -> Dict[str, float]:
+        return {"train_auc": float(binned_auc_value(carry))}
+
     def train_epoch(self, state: TrainState, ds: PackedDataset, epoch: int,
                     skip_steps: int = 0) -> Tuple[TrainState, Dict[str, float]]:
         """One epoch; ``skip_steps`` fast-forwards past the first N batches of
         this epoch's permutation (mid-epoch resume: those steps were already
         trained before the restart)."""
         hp = self.cfg.train_hparams
-        hist = AucHist.zeros()
+        hist = self._epoch_carry(epoch)
         loss_sum, n_steps = 0.0, 0
         t0 = time.perf_counter()
         n_examples = 0
@@ -427,10 +437,9 @@ class Trainer:
         # reliably block through remote-tunnel backends)
         loss_val = float(jax.device_get(last_loss)) if last_loss is not None else float("nan")
         dt = time.perf_counter() - t0
-        train_auc = float(binned_auc_value(hist))
         metrics = {
             "train_loss": loss_val,
-            "train_auc": train_auc,
+            **self._carry_metrics(hist),
             "examples_per_sec": n_examples / max(dt, 1e-9),
             "steps": n_steps,
         }
@@ -440,9 +449,10 @@ class Trainer:
             for k, v in metrics.items():
                 f.write(f"  {k}: {v:.4f}\n")
             f.write("-" * 20 + "\n")
+        extra = (f" auc~{metrics['train_auc']:.4f}" if "train_auc" in metrics else "")
         logger.info(
-            f"epoch {epoch}: steps={n_steps} loss={metrics['train_loss']:.4f} "
-            f"auc~{train_auc:.4f} ex/s={metrics['examples_per_sec']:.0f}"
+            f"epoch {epoch}: steps={n_steps} loss={metrics['train_loss']:.4f}"
+            f"{extra} ex/s={metrics['examples_per_sec']:.0f}"
         )
         return state, metrics
 

@@ -15,7 +15,7 @@ import re
 from typing import Dict, List, Optional
 
 EPOCH_START = re.compile(r"=+ Epoch (\d+) Validation Results =+")
-SECTION = re.compile(r"^\s*(Overall|Warm Start Users|Cold Start Users).*:$")
+SECTION = re.compile(r"^\s*(Overall|Warm Start Users|Cold Start Users|Retrieval).*:$")
 METRIC = re.compile(r"^([a-zA-Z0-9@]+):\s+([0-9\.\-eE]+|nan|inf|-inf)")
 BLOCK_END = re.compile(r"={10,}")
 
@@ -50,7 +50,8 @@ def parse_log(file_path: str) -> List[Dict]:
         if m:
             raw = m.group(1)
             section = ("Warm Start Users" if "Warm" in raw
-                       else "Cold Start Users" if "Cold" in raw else "Overall")
+                       else "Cold Start Users" if "Cold" in raw
+                       else "Retrieval" if "Retrieval" in raw else "Overall")
             current["data"][section] = {}
             continue
         m = METRIC.match(line)
@@ -65,22 +66,46 @@ def parse_log(file_path: str) -> List[Dict]:
     return epochs
 
 
+def _retrieval_criterion(e: Dict) -> Optional[float]:
+    """Primary retrieval metric: the smallest-k HR@k present."""
+    sec = e.get("data", {}).get("Retrieval", {})
+    hrs = sorted((int(name.split("@")[1]), v) for name, v in sec.items()
+                 if name.startswith("HR@"))
+    return hrs[0][1] if hrs else None
+
+
 def best_epoch(epochs: List[Dict]) -> Optional[Dict]:
-    """Best epoch by Warm-Start AUC (reference criterion)."""
-    best, max_auc = None, -1.0
+    """Best epoch by Warm-Start AUC (reference criterion); retrieval runs
+    (DSSM val_log blocks) fall back to HR@k."""
+    best, max_val = None, -1.0
     for e in epochs:
-        auc = e.get("data", {}).get("Warm Start Users", {}).get("AUC")
-        if auc is None or auc != auc:
+        val = e.get("data", {}).get("Warm Start Users", {}).get("AUC")
+        if val is None:
+            val = _retrieval_criterion(e)
+        if val is None or val != val:
             continue
-        if auc > max_auc:
-            max_auc, best = auc, e
+        if val > max_val:
+            max_val, best = val, e
     return best
+
+
+def _format_best_retrieval(e: Dict, model_name: str) -> str:
+    sec = e["data"]["Retrieval"]
+    out = [f"Best Epoch: {e['epoch']} (Retrieval HR: {_retrieval_criterion(e):.4f})", ""]
+    out.append("| Model | Metric | Value |")
+    out.append("| :--- | :--- | :--- |")
+    for i, (metric, val) in enumerate(sorted(sec.items())):
+        fmt = f"{val:.4f}" if isinstance(val, float) and metric != "Queries" else str(int(val))
+        out.append(f"| {model_name if i == 0 else ''} | {metric} | {fmt} |")
+    return "\n".join(out)
 
 
 def format_best_epoch(epochs: List[Dict], model_name: str = "Unknown") -> str:
     e = best_epoch(epochs)
     if not e:
         return "No valid epoch data found."
+    if "Retrieval" in e["data"] and "Warm Start Users" not in e["data"]:
+        return _format_best_retrieval(e, model_name)
     auc = e["data"]["Warm Start Users"]["AUC"]
     out = [f"Best Epoch: {e['epoch']} (Warm Start AUC: {auc:.4f})", ""]
     metrics = list(e["data"].get("Overall", e["data"].get("Warm Start Users", {})).keys())

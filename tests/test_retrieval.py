@@ -105,7 +105,7 @@ def test_dssm_end_to_end_retrieval(tmp_path):
 
     model = build_dssm(cfg)
     trainer = DSSMTrainer(cfg, model, workdir=str(tmp_path))
-    state = trainer.fit(train, epochs=25)
+    state = trainer.fit(train, max_epochs=25)
 
     # item corpus: every item once
     n_items = 96
@@ -166,7 +166,7 @@ def test_dssm_sparse_optimizers(tmp_path, opt):
     arrays, item_cat = synthetic_pairs(rng, n=2048)
     model = build_dssm(cfg)
     trainer = DSSMTrainer(cfg, model, workdir=str(tmp_path))
-    state = trainer.fit(PackedDataset(arrays), epochs=10)
+    state = trainer.fit(PackedDataset(arrays), max_epochs=10)
     from news_recsys_tpu.training.sparse_step import SparseTrainState
     assert isinstance(state, SparseTrainState)
     if opt == "rowwise_adagrad":
@@ -187,3 +187,134 @@ def test_dssm_sparse_optimizers(tmp_path, opt):
     # block structure: matching-category items cluster; HR@10 far above the
     # 10/96 random baseline
     assert res["HR@10"] > 0.3, res
+
+
+def _item_query(rng, item_cat, n_items=96):
+    item_ds = PackedDataset({
+        "item_id": np.arange(1, n_items + 1, dtype=np.int32),
+        "category": item_cat[1: n_items + 1].astype(np.int32),
+        "label": np.full((n_items, 1), -1, np.float32),
+    })
+    q_arrays, _ = synthetic_pairs(rng, n=256, item_cat=item_cat)
+    pos = q_arrays["label"][:, 0] == 1
+    query = PackedDataset({k: v[pos] for k, v in q_arrays.items()})
+    return item_ds, query
+
+
+@pytest.mark.parametrize("opt", ["adamw", "rowwise_adagrad"])
+def test_dssm_mesh_matches_single_device(tmp_path, opt):
+    """DSSM training on an 8-device DP mesh (and a 4x2 dp x tp mesh for the
+    sparse path) must match single-device numerics."""
+    import dataclasses
+    from news_recsys_tpu.parallel.mesh import make_mesh
+
+    cfg = make_cfg()
+    if opt != "adamw":
+        cfg = dataclasses.replace(cfg, train_hparams=dataclasses.replace(
+            cfg.train_hparams, embedding_optimizer=opt))
+        cfg = dataclasses.replace(cfg, embeddings=dataclasses.replace(
+            cfg.embeddings,
+            embedding_table_size={"user_id": 5000, "item_id": 5000, "category": 8}))
+    rng = np.random.default_rng(3)
+    arrays, item_cat = synthetic_pairs(
+        rng, n=1024, n_users=48 if opt == "adamw" else 1024,
+        n_items=96 if opt == "adamw" else 2048)
+    train = PackedDataset(arrays)
+    model = build_dssm(cfg)
+
+    t_single = DSSMTrainer(cfg, model, workdir=str(tmp_path / "s"), use_mesh=False)
+    s_single = t_single.fit(train, max_epochs=2)
+
+    mesh = make_mesh(data=8, model=1) if opt == "adamw" else make_mesh(data=4, model=2)
+    t_mesh = DSSMTrainer(cfg, model, workdir=str(tmp_path / "m"), mesh=mesh)
+    s_mesh = t_mesh.fit(train, max_epochs=2)
+
+    u1 = t_single.encode_users(s_single.params, train)
+    u2 = t_mesh.encode_users(s_mesh.params, train)
+    np.testing.assert_allclose(u1, u2, atol=2e-4)
+    i1 = t_single.encode_item_corpus(s_single.params, train)
+    i2 = t_mesh.encode_item_corpus(s_mesh.params, train)
+    np.testing.assert_allclose(i1, i2, atol=2e-4)
+
+
+def test_dssm_per_epoch_eval_and_log(tmp_path):
+    """fit(dev_ds=...) runs retrieval eval each epoch, writes parseable
+    val_log.log blocks and metrics.jsonl scalars."""
+    import json
+    import os
+    from news_recsys_tpu.utils.log_analysis import best_epoch, format_best_epoch, parse_log
+
+    cfg = make_cfg()
+    rng = np.random.default_rng(5)
+    arrays, item_cat = synthetic_pairs(rng, n=1024)
+    train = PackedDataset(arrays)
+    item_ds, query = _item_query(np.random.default_rng(6), item_cat)
+
+    model = build_dssm(cfg)
+    trainer = DSSMTrainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    trainer.set_eval_data(item_ds, histories=None, k=10)
+    trainer.fit(train, dev_ds=query, max_epochs=3)
+
+    epochs = parse_log(trainer.val_log_path)
+    assert len(epochs) == 3
+    assert all("Retrieval" in e["data"] for e in epochs)
+    assert all(0.0 <= e["data"]["Retrieval"]["HR@10"] <= 1.0 for e in epochs)
+    best = best_epoch(epochs)
+    assert best is not None
+    report = format_best_epoch(epochs, "dssm")
+    assert "HR@10" in report and "Best Epoch" in report
+
+    scalars = [json.loads(l) for l in open(os.path.join(trainer.log_dir, "metrics.jsonl"))]
+    assert any("val_hr_at_10" in s for s in scalars)
+    assert os.path.exists(os.path.join(trainer.log_dir, "model_info.log"))
+
+
+def test_dssm_orbax_resume_exact(tmp_path):
+    """Interrupt DSSM training mid-run, fit(resume=True): same encodings as
+    uninterrupted (incl. identical fold_in-derived negatives)."""
+    import dataclasses
+    cfg = make_cfg()
+    cfg = dataclasses.replace(cfg, train_hparams=dataclasses.replace(
+        cfg.train_hparams, ckpt_every_steps=8))
+    rng = np.random.default_rng(9)
+    arrays, _ = synthetic_pairs(rng, n=1024)  # 16 steps/epoch at bs=64
+    train = PackedDataset(arrays)
+    model = build_dssm(cfg)
+
+    t_ref = DSSMTrainer(cfg, model, workdir=str(tmp_path / "ref"), use_mesh=False)
+    s_ref = t_ref.fit(train, max_epochs=2)
+
+    cfg_cap = dataclasses.replace(cfg, train_hparams=dataclasses.replace(
+        cfg.train_hparams, ckpt_every_steps=8, max_step=24))
+    t_a = DSSMTrainer(cfg_cap, model, workdir=str(tmp_path / "a"), use_mesh=False)
+    t_a.fit(train, max_epochs=2)   # stops at step 24 (mid epoch 1), ckpt at 24
+    assert t_a.global_step == 24
+
+    t_b = DSSMTrainer(cfg, model, workdir=str(tmp_path / "b"), use_mesh=False)
+    t_b.ckpt_dir = t_a.ckpt_dir
+    s_b = t_b.fit(train, max_epochs=2, resume=True)
+    assert t_b.global_step == 32
+    np.testing.assert_allclose(t_ref.encode_users(s_ref.params, train),
+                               t_b.encode_users(s_b.params, train), atol=1e-5)
+
+
+def test_dedup_hit_rate_matches_naive():
+    """Vectorized history-dedup HR equals the per-row reference loop."""
+    from news_recsys_tpu.training.retrieval import dedup_hit_rate
+
+    rng = np.random.default_rng(11)
+    q, fetch, k = 64, 20, 5
+    retrieved = np.stack([rng.choice(200, fetch, replace=False) for _ in range(q)])
+    targets = rng.integers(0, 200, q)
+    histories = [list(rng.choice(200, rng.integers(0, 10), replace=False))
+                 for _ in range(q)]
+
+    hits = 0
+    for row in range(q):
+        hist = set(int(x) for x in histories[row])
+        kept = [int(i) for i in retrieved[row] if int(i) not in hist][:k]
+        if int(targets[row]) in kept:
+            hits += 1
+    naive = hits / q
+    fast = dedup_hit_rate(retrieved.astype(np.int64), targets, histories, k)
+    assert abs(fast - naive) < 1e-12

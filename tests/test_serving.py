@@ -19,7 +19,7 @@ def trained(tmp_path_factory):
     train = PackedDataset(arrays)
     model = build_dssm(cfg)
     trainer = DSSMTrainer(cfg, model, workdir=str(tmp))
-    state = trainer.fit(train, epochs=10)
+    state = trainer.fit(train, max_epochs=10)
     n_items = 96
     item_ds = PackedDataset({
         "item_id": np.arange(1, n_items + 1, dtype=np.int32),
