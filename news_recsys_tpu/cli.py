@@ -99,6 +99,76 @@ def _train_dssm(cfg: Config, args, train_ds):
     print(f"Serving bundle: {bundle}")
 
 
+def cmd_predict(args):
+    """Score a feature file with a trained ranker checkpoint.
+
+    The reference declares this surface on BaseModel (abstract ``inference``
+    + FeatureIdMapper loaded at setup for decode, ``base_model.py:199-207,
+    313-317``) but ships no entry point; here it is a CLI: checkpoint +
+    split/npz -> per-row scores (jsonl), with optional raw-value decode.
+    """
+    import glob as _glob
+    import tempfile
+
+    import numpy as np
+
+    from .data.packed_dataset import PackedDataset
+    from .models.rankers import build_ranker
+    from .training.trainer import Trainer
+
+    cfg = load_config(args.config)
+    name = args.model or cfg.name
+    ds = (PackedDataset.load(args.input) if args.input
+          else PackedDataset.open_split(cfg, args.split))
+
+    ckpt = args.checkpoint
+    if os.path.isdir(ckpt):  # experiment dir: newest per-epoch checkpoint
+        cands = sorted(_glob.glob(os.path.join(ckpt, "ckpts", "epoch_*.msgpack"))
+                       or _glob.glob(os.path.join(ckpt, "epoch_*.msgpack")))
+        if not cands:
+            raise FileNotFoundError(f"No epoch_*.msgpack under {ckpt}")
+        ckpt = cands[-1]
+
+    model = build_ranker(cfg, name)
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = Trainer(cfg, model, workdir=tmp, use_mesh=not args.no_mesh)
+        bs = cfg.dataset.batch_size
+        sample = ds.take(np.arange(min(bs, len(ds))) % len(ds))
+        if len(sample["label"]) < bs:  # pad the init sample to batch size
+            reps = -(-bs // len(sample["label"]))
+            sample = {k: np.concatenate([v] * reps)[:bs] for k, v in sample.items()}
+        sample["_valid"] = np.ones(bs, np.float32)
+        state = trainer.init_state(sample)
+        state = trainer.load_checkpoint(state, ckpt)
+        scores = trainer.predict(state.params, ds)
+
+    mapper = None
+    if args.decode:
+        from .utils.feature_id_mapper import FeatureIdMapper
+        mapper = FeatureIdMapper.from_dir(
+            os.path.join(cfg.paths.out_basedir, "extractored_feature"))
+
+    feat_names = [k for k in ds.arrays
+                  if k != "label" and not k.endswith("_mask")]
+    out_path = args.output or "predictions.jsonl"
+    with open(out_path, "w") as f:
+        for i in range(len(ds)):
+            row = {}
+            for k in feat_names:
+                v = ds.arrays[k][i]
+                val = v.tolist() if getattr(v, "ndim", 0) else (
+                    float(v) if isinstance(v, (np.floating, float)) else int(v))
+                if mapper is not None and np.ndim(v) == 0:
+                    raw = mapper.get_real_val(k, int(v))
+                    if raw is not None:
+                        val = raw
+                row[k] = val
+            row["label"] = ds.arrays["label"][i].tolist()
+            row["score"] = float(scores[i])
+            f.write(json.dumps(row) + "\n")
+    print(f"Wrote {len(ds)} scored rows -> {out_path}")
+
+
 def cmd_serve(args):
     if args.backend == "host":
         # pin JAX to CPU before first use: the user-tower encode then runs
@@ -178,6 +248,19 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume from the newest Orbax checkpoint in workdir")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("predict", help="score a feature file with a trained ranker")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-m", "--model", default=None, help="override config model name")
+    p.add_argument("--checkpoint", required=True,
+                   help="epoch_*.msgpack file or experiment dir (newest epoch used)")
+    p.add_argument("--split", default="dev", help="feature split to score (default dev)")
+    p.add_argument("--input", default=None, help="explicit .npz feature file instead of --split")
+    p.add_argument("--output", default=None, help="output jsonl (default predictions.jsonl)")
+    p.add_argument("--decode", action="store_true",
+                   help="decode ids back to raw values via FeatureIdMapper")
+    p.add_argument("--no-mesh", action="store_true")
+    p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("serve", help="HTTP recommendation server from a saved bundle")
     p.add_argument("--bundle", required=True, help="bundle dir (train dssm writes one)")

@@ -366,9 +366,20 @@ def _extract_entities(ctx: ExtractionContext) -> Dict[str, np.ndarray]:
     return {"entities": ids, "entities_mask": mask}
 
 
-# Label extractor: reference default = [click label] (feature_extractor.py:60-61)
+# Label extractor: reference default = [click label] (feature_extractor.py:60-61).
+# Space-separated multi-value label strings become (N, k) float labels,
+# matching the reference DataReader (data_reader.py:111-113).
 def default_label_extractor(ctx: ExtractionContext) -> np.ndarray:
-    return ctx.behaviors["label"].to_numpy(dtype=np.float32).reshape(-1, 1)
+    lab = ctx.behaviors["label"]
+    if len(lab) and isinstance(lab.iloc[0], str):
+        split = lab.str.split(" ")
+        k = len(split.iloc[0])
+        if any(len(v) != k for v in split):
+            raise ValueError("Inconsistent multi-label widths in 'label' column")
+        flat = np.fromiter((float(x) for v in split for x in v),
+                           dtype=np.float32, count=len(lab) * k)
+        return flat.reshape(-1, k)
+    return lab.to_numpy(dtype=np.float32).reshape(-1, 1)
 
 
 # ---------------------------------------------------------------------------

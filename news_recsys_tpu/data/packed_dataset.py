@@ -50,13 +50,27 @@ class PackedDataset:
                 arrays[k] = v
             return cls(arrays)
 
+    @staticmethod
+    def _sniff_n_labels(path: str) -> int:
+        """Label column width from the first non-empty line (the reference
+        DataReader infers multi-labels by splitting on spaces,
+        ``data_reader.py:111-113``)."""
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line and "\t" in line:
+                    return len(line.split("\t")[1].split(" "))
+        return 1
+
     @classmethod
     def from_text(cls, path: str, cfg: Config, native: bool = True) -> "PackedDataset":
         """Parse the reference text format — native C++ one-pass parser when
-        available, pure-Python fallback otherwise."""
+        available, pure-Python fallback otherwise. Multi-value labels yield
+        an (N, k) float32 'label' array."""
         if native:
             from ..native import parse_text_features_native
-            arrays = parse_text_features_native(path, cfg)
+            arrays = parse_text_features_native(path, cfg,
+                                                n_labels=cls._sniff_n_labels(path))
             if arrays is not None:
                 return cls(arrays)
         from .text_format import read_text_features

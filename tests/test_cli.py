@@ -76,3 +76,95 @@ def test_cli_visualize(workspace, tmp_path):
               "--output", out])
     content = open(out).read()
     assert "<html>" in content and "User History Visualizer" in content
+
+
+def test_cli_predict_matches_validate(workspace, capsys, tmp_path):
+    """predict CLI scores the dev split; AUC from its jsonl equals
+    Trainer.validate's Overall AUC on the same checkpoint."""
+    import numpy as np
+
+    from news_recsys_tpu.config import load_config
+    from news_recsys_tpu.data.packed_dataset import PackedDataset
+    from news_recsys_tpu.models.rankers import build_ranker
+    from news_recsys_tpu.training.metrics import compute_user_metrics
+    from news_recsys_tpu.training.trainer import Trainer
+
+    tmp, cfg_path, _ = workspace
+    workdir = str(tmp / "exp_deep")  # trained by test_cli_full_flow
+    out = str(tmp_path / "preds.jsonl")
+    cli_main(["predict", "-c", cfg_path, "--checkpoint", workdir,
+              "--split", "dev", "--output", out, "--decode"])
+    rows = [json.loads(l) for l in open(out)]
+    cfg = load_config(cfg_path)
+    dev = PackedDataset.open_split(cfg, "dev")
+    assert len(rows) == len(dev)
+    # decoded categorical features are raw strings again
+    assert isinstance(rows[0]["category"], str)
+
+    scores = np.array([r["score"] for r in rows], np.float32)
+    res = compute_user_metrics(dev.arrays["user_id"], scores,
+                               dev.arrays["label"][:, 0], None)
+    # cross-check vs Trainer.validate on the same checkpoint
+    model = build_ranker(cfg, "deep")
+    trainer = Trainer(cfg, model, workdir=str(tmp_path / "v"), use_mesh=False)
+    sample = dev.take(np.arange(cfg.dataset.batch_size) % len(dev))
+    sample["_valid"] = np.ones(cfg.dataset.batch_size, np.float32)
+    state = trainer.init_state(sample)
+    import glob
+    ckpt = sorted(glob.glob(os.path.join(workdir, "ckpts", "epoch_*.msgpack")))[-1]
+    state = trainer.load_checkpoint(state, ckpt)
+    res2 = trainer.validate(state, dev, epoch=0)
+    assert abs(res["Overall"]["AUC"] - res2["Overall"]["AUC"]) < 1e-6
+
+
+def test_multi_label_roundtrip(tmp_path):
+    """(N, 3) labels survive text write -> python parse -> native parse."""
+    import numpy as np
+
+    from news_recsys_tpu.config import config_from_dict
+    from news_recsys_tpu.data.packed_dataset import PackedDataset
+    from news_recsys_tpu.data.text_format import write_text_features
+
+    cfg = config_from_dict({
+        "name": "m",
+        "features": {"sparse_feature_names": ["user_id", "item_id"],
+                     "item_feature_names": ["item_id"],
+                     "user_feature_names": ["user_id"]},
+        "embeddings": {"embedding_size": {"user_id": 8, "item_id": 8},
+                       "embedding_table_size": {"user_id": 50, "item_id": 50}},
+    })
+    rng = np.random.default_rng(0)
+    n = 40
+    feats = {
+        "user_id": rng.integers(1, 50, n).astype(np.int32),
+        "item_id": rng.integers(1, 50, n).astype(np.int32),
+        "label": np.round(rng.random((n, 3)), 3).astype(np.float32),
+    }
+    path = tmp_path / "multi.txt"
+    write_text_features(path, feats, ["user_id", "item_id"])
+
+    py = PackedDataset.from_text(str(path), cfg, native=False)
+    assert py.arrays["label"].shape == (n, 3)
+    np.testing.assert_allclose(py.arrays["label"], feats["label"], atol=1e-6)
+
+    nat = PackedDataset.from_text(str(path), cfg, native=True)
+    assert nat.arrays["label"].shape == (n, 3)
+    np.testing.assert_allclose(nat.arrays["label"], feats["label"], atol=1e-6)
+    for k in ("user_id", "item_id"):
+        np.testing.assert_array_equal(nat.arrays[k], feats[k])
+
+
+def test_multi_label_extractor(tmp_path):
+    """Space-separated label strings in behaviors become (N, k) labels."""
+    import numpy as np
+    import pandas as pd
+
+    from news_recsys_tpu.data.feature_extraction import (ExtractionContext,
+                                                         default_label_extractor)
+
+    beh = pd.DataFrame({"label": ["1 0 0.5", "0 1 0.25", "1 1 0"]})
+    out = default_label_extractor(ExtractionContext(beh, pd.DataFrame(), None))
+    np.testing.assert_allclose(out, [[1, 0, 0.5], [0, 1, 0.25], [1, 1, 0]])
+    beh1 = pd.DataFrame({"label": [1, 0, 1]})
+    out1 = default_label_extractor(ExtractionContext(beh1, pd.DataFrame(), None))
+    assert out1.shape == (3, 1)
