@@ -92,6 +92,9 @@ class TrainHParams:
     # slab path's chunk is additionally capped so one slab never exceeds
     # this budget.
     device_resident_bytes: int = 2 << 30
+    # validation splits with at least this many rows use the jit sort+segment
+    # device metric engine instead of the host engine
+    device_metrics_min_rows: int = 200_000
 
 
 @dataclass(frozen=True)

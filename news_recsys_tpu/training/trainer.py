@@ -496,14 +496,16 @@ class Trainer:
             pos += c
         return np.concatenate(scores)[: packer.n]
 
-    DEVICE_METRICS_MIN_ROWS = 200_000
-
     def validate(self, state: TrainState, ds: PackedDataset, epoch: int,
                  warm_user_set: Optional[Set[int]] = None) -> Dict[str, Dict[str, float]]:
         scores = self.predict(state.params, ds)
         uids = ds.arrays["user_id"]
         labels = ds.arrays["label"][:, 0]
-        if len(ds) >= self.DEVICE_METRICS_MIN_ROWS and self.mesh is None:
+        if len(ds) >= self.cfg.train_hparams.device_metrics_min_rows:
+            # The device engine runs whether or not training used a mesh —
+            # the (N,) metric inputs are tiny next to the model state, so
+            # they compute on one chip (default jit placement) even when the
+            # train step was sharded. Parity-tested under a 4x2 mesh.
             from .metrics_device import compute_user_metrics_device
             results = compute_user_metrics_device(uids, scores, labels, warm_user_set)
         else:
