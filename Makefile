@@ -29,6 +29,10 @@ log:
 visualize_history:
 	python -m news_recsys_tpu visualize-history --news Data/MIND/MINDsmall_dev/news.tsv --behaviors Data/MIND/MINDsmall_dev/behaviors.tsv
 
+.PHONY: itemcf
+itemcf:
+	python -m news_recsys_tpu itemcf -c $(config)
+
 .PHONY: synth
 synth:
 	python -m news_recsys_tpu synth --out Data/MIND

@@ -41,6 +41,11 @@ def cmd_fe(args):
 
 
 def cmd_train(args):
+    if args.coordinator or args.num_processes:
+        # must be the first JAX-touching call in the process (multi-host
+        # SPMD over a coordinator; on TPU pods omit flags for auto-detect)
+        from .parallel.distributed import initialize_distributed
+        initialize_distributed(args.coordinator, args.num_processes, args.process_id)
     from .data.packed_dataset import PackedDataset
     cfg = load_config(args.config)
     name = args.model or cfg.name
@@ -197,6 +202,58 @@ def _dev_histories(cfg: Config, row_mask):
     return [h for h, m in zip(hists, row_mask) if m]
 
 
+def cmd_itemcf(args):
+    """Non-neural ItemCF recall baseline: fit on train behaviors, HR@k on
+    dev positives (reference ``itemCF_base.py`` records HR@50)."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from .models.itemcf import ItemCF, interactions_from_behaviors
+
+    cfg = load_config(args.config)
+    pre = os.path.join(cfg.paths.out_basedir, "preprocess")
+    cols = ["impression_id", "user_id", "time", "history", "item_id", "label"]
+    t0 = time.time()
+    train_df = pd.read_csv(os.path.join(pre, "train_behaviors_processed.csv"),
+                           sep="\t", names=cols, quoting=3)
+    dev_df = pd.read_csv(os.path.join(pre, "dev_behaviors_processed.csv"),
+                         sep="\t", names=cols, quoting=3)
+    uids, items = interactions_from_behaviors(train_df)
+    logger.info(f"ItemCF: {uids.size} train interactions "
+                f"({len(train_df)} behaviors rows) in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    cf = ItemCF(max_history=args.max_history,
+                max_neighbors=args.neighbors).fit_pairs(uids, items)
+    fit_s = time.time() - t0
+    logger.info(f"ItemCF fit in {fit_s:.1f}s")
+
+    # eval queries: dev positives, history from the row itself
+    pos = dev_df[dev_df["label"] == 1]
+    if args.max_queries and len(pos) > args.max_queries:
+        pos = pos.sample(n=args.max_queries, random_state=0)
+    hs = pos["history"].fillna("").astype(str).values
+    targets = pos["item_id"].to_numpy(np.int64)
+    histories = [[int(x) for x in s.split(" ")] if s else [] for s in hs]
+
+    t0 = time.time()
+    ks = sorted({int(k) for k in args.k.split(",")})
+    topk = cf.recall_batch(histories, max(ks))
+    metrics = {f"HR@{k}": float((topk[:, :k] == targets[:, None]).any(axis=1).mean())
+               for k in ks}
+    eval_s = time.time() - t0
+    out = {"model": "itemcf", "queries": len(histories), "fit_seconds": round(fit_s, 2),
+           "eval_seconds": round(eval_s, 2), "neighbors": args.neighbors,
+           "max_history": args.max_history, **{k: round(v, 5) for k, v in metrics.items()}}
+    out_dir = os.path.join(cfg.paths.out_basedir, "itemcf")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
 def cmd_log(args):
     from .utils.log_analysis import format_best_epoch, parse_log
     target = args.target
@@ -228,6 +285,15 @@ def cmd_synth(args):
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS for CLI subprocesses: some out-of-tree backend
+    # plugins ignore the env var, so mirror it into the jax config before
+    # any backend-touching call (same as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     parser = argparse.ArgumentParser(prog="news_recsys_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -247,6 +313,11 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the newest Orbax checkpoint in workdir")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator address host:port (run one "
+                        "process per host; omit on TPU pods for auto-detect)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("predict", help="score a feature file with a trained ranker")
@@ -268,6 +339,15 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--backend", default="auto", choices=["auto", "device", "host"])
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("itemcf", help="ItemCF recall baseline: fit train, HR@k on dev")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--neighbors", type=int, default=200, help="per-item similarity prune")
+    p.add_argument("--max-history", type=int, default=200)
+    p.add_argument("--max-queries", type=int, default=50000,
+                   help="subsample dev positives (0 = all)")
+    p.add_argument("--k", default="10,50", help="comma-separated HR cutoffs")
+    p.set_defaults(fn=cmd_itemcf)
 
     p = sub.add_parser("log", help="best-epoch report from val_log.log")
     p.add_argument("target", help="log file, experiment dir, or model name")

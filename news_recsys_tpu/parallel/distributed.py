@@ -67,6 +67,45 @@ def global_mesh(data: int = -1, model: int = 1) -> Mesh:
     return make_mesh(data=data, model=model, devices=jax.devices())
 
 
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def fetch_to_host(x, mesh: Optional[Mesh]) -> np.ndarray:
+    """Materialize a (possibly cross-host sharded) array on every host.
+
+    Single-process: a plain device_get. Multi-process: a jitted identity
+    with replicated out_shardings (XLA all-gathers over the mesh), then the
+    local replica is read — the standard way to fetch sharded eval outputs
+    without assuming addressability.
+    """
+    if jax.process_count() == 1 or mesh is None:
+        return np.asarray(jax.device_get(x))
+    rep = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(x)
+    return np.asarray(rep.addressable_data(0))
+
+
+def fetch_pytree_to_host(tree, mesh: Optional[Mesh]):
+    """fetch_to_host over every array leaf of a pytree (for host-format
+    checkpoints of sharded state)."""
+    return jax.tree.map(lambda x: fetch_to_host(x, mesh)
+                        if isinstance(x, jax.Array) else x, tree)
+
+
+def broadcast_str(s: str, maxlen: int = 64) -> str:
+    """Agree on a short string across processes (process 0 wins). Used for
+    the timestamped experiment dir name, which each process would otherwise
+    compute from its own clock."""
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+    buf = np.zeros(maxlen, np.uint8)
+    raw = s.encode()[:maxlen]
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out[out != 0]).decode()
+
+
 def host_local_batch_to_global(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict:
     """Assemble a global batch-sharded array from per-host local shards.
 

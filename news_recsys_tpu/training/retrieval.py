@@ -266,9 +266,10 @@ class DSSMTrainer(Trainer):
                                  target_item_ids=ds.arrays["item_id"],
                                  histories=histories, k=ev["k"])
         block = format_retrieval_block(res, epoch)
-        print(block)
-        with open(self.val_log_path, "a") as f:
-            f.write(block)
+        if self.is_main:
+            print(block)
+            with open(self.val_log_path, "a") as f:
+                f.write(block)
         self._log_scalars(self.global_step, epoch=epoch,
                           **{f"val_{k.lower().replace('@', '_at_')}": v
                              for k, v in res.items()})
@@ -283,8 +284,15 @@ class DSSMTrainer(Trainer):
         path (``ckpt_every_steps`` + ``fit(resume=True)``)."""
         from flax import serialization
         path = os.path.join(self.ckpt_dir, f"epoch_{epoch:03d}.msgpack")
+        if jax.process_count() > 1:
+            from ..parallel.distributed import fetch_pytree_to_host
+            host_params = fetch_pytree_to_host(state.params, self.mesh)
+            if not self.is_main:
+                return path
+        else:
+            host_params = jax.device_get(state.params)
         with open(path, "wb") as f:
-            f.write(serialization.to_bytes(jax.device_get(state.params)))
+            f.write(serialization.to_bytes(host_params))
         return path
 
     def load_params(self, state, path: str):

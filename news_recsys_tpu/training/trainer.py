@@ -187,14 +187,23 @@ class Trainer:
         if cfg.mesh.explicit_collectives:
             from ..parallel.sharded_embedding import set_active_mesh
             set_active_mesh(self.mesh)
+        # Multi-host: every process runs the same SPMD program; only process
+        # 0 writes logs/host checkpoints (Orbax sharded saves stay
+        # collective). The experiment-dir timestamp is agreed via broadcast
+        # so all processes share one Orbax directory.
+        self.is_main = jax.process_index() == 0
         ts = time.strftime("%Y%m%d-%H%M%S")
+        if workdir is None and jax.process_count() > 1:
+            from ..parallel.distributed import broadcast_str
+            ts = broadcast_str(ts)
         self.log_dir = workdir or os.path.join("experiments", f"{cfg.name}_{ts}")
         self.ckpt_dir = os.path.join(self.log_dir, "ckpts")
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.val_log_path = os.path.join(self.log_dir, "val_log.log")
         self.train_log_path = os.path.join(self.log_dir, "train.log")
         self.metrics_path = os.path.join(self.log_dir, "metrics.jsonl")
-        open(self.val_log_path, "a").close()
+        if self.is_main:
+            open(self.val_log_path, "a").close()
 
         self.train_step = make_train_step(model, self.mesh)
         self.eval_step = make_eval_step(model)
@@ -241,10 +250,13 @@ class Trainer:
             name = "/".join(str(getattr(p, "key", p)) for p in path)
             lines.append(f"  | {name} | {tuple(leaf.shape)} | {n:,}")
         lines.append(f"  Total params: {total:,}")
-        with open(os.path.join(self.log_dir, "model_info.log"), "w") as f:
-            f.write("\n".join(lines) + "\n")
+        if self.is_main:
+            with open(os.path.join(self.log_dir, "model_info.log"), "w") as f:
+                f.write("\n".join(lines) + "\n")
 
     def _log_scalars(self, step: int, **scalars) -> None:
+        if not self.is_main:
+            return
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps({"step": step, **scalars}) + "\n")
         if not hasattr(self, "_tb"):
@@ -444,11 +456,12 @@ class Trainer:
             "steps": n_steps,
         }
         self._log_scalars(self.global_step, epoch=epoch, **metrics)
-        with open(self.train_log_path, "a") as f:
-            f.write(f"Epoch {epoch} Training Metrics:\n")
-            for k, v in metrics.items():
-                f.write(f"  {k}: {v:.4f}\n")
-            f.write("-" * 20 + "\n")
+        if self.is_main:
+            with open(self.train_log_path, "a") as f:
+                f.write(f"Epoch {epoch} Training Metrics:\n")
+                for k, v in metrics.items():
+                    f.write(f"  {k}: {v:.4f}\n")
+                f.write("-" * 20 + "\n")
         extra = (f" auc~{metrics['train_auc']:.4f}" if "train_auc" in metrics else "")
         logger.info(
             f"epoch {epoch}: steps={n_steps} loss={metrics['train_loss']:.4f}"
@@ -457,6 +470,14 @@ class Trainer:
         return state, metrics
 
     # -- validation ----------------------------------------------------------
+
+    def _fetch(self, x) -> np.ndarray:
+        """Host-fetch an eval output; multihost-safe (all-gathers cross-host
+        shards so every process sees the full array)."""
+        if jax.process_count() > 1:
+            from ..parallel.distributed import fetch_to_host
+            return fetch_to_host(x, self.mesh)
+        return np.asarray(x)
 
     def predict(self, params, ds: PackedDataset, batch_size: Optional[int] = None):
         """Scores for every row of ``ds`` in order (packed fast path)."""
@@ -473,8 +494,8 @@ class Trainer:
             pos = 0
             while pos < nb:
                 c = min(self.chunk_steps, nb - pos)
-                scores.append(np.asarray(run(params, int_dev, float_dev,
-                                             idx_dev[pos : pos + c])))
+                scores.append(self._fetch(run(params, int_dev, float_dev,
+                                              idx_dev[pos : pos + c])))
                 pos += c
             return np.concatenate(scores)[: packer.n]
         # slab-streamed eval for datasets too large for HBM
@@ -491,8 +512,8 @@ class Trainer:
             im = packer.int_mat[slab_rows]
             fm = packer.float_mat[slab_rows]
             idx = np.arange(c * bs, dtype=np.int32).reshape(c, bs)
-            scores.append(np.asarray(run(params, self._put_replicated(im),
-                                         self._put_replicated(fm), self._put_idx(idx))))
+            scores.append(self._fetch(run(params, self._put_replicated(im),
+                                          self._put_replicated(fm), self._put_idx(idx))))
             pos += c
         return np.concatenate(scores)[: packer.n]
 
@@ -511,9 +532,10 @@ class Trainer:
         else:
             results = compute_user_metrics(uids, scores, labels, warm_user_set)
         block = format_validation_block(results, epoch)
-        print(block)
-        with open(self.val_log_path, "a") as f:
-            f.write(block)
+        if self.is_main:
+            print(block)
+            with open(self.val_log_path, "a") as f:
+                f.write(block)
         self._log_scalars(self.global_step, epoch=epoch,
                           val_auc=results["Overall"]["AUC"],
                           val_gauc=results["Overall"]["GAUC"],
@@ -580,7 +602,14 @@ class Trainer:
 
     def save_checkpoint(self, state, epoch: int) -> str:
         path = os.path.join(self.ckpt_dir, f"epoch_{epoch:03d}.msgpack")
-        blob = serialization.to_bytes(jax.device_get(state))
+        if jax.process_count() > 1:
+            from ..parallel.distributed import fetch_pytree_to_host
+            host_state = fetch_pytree_to_host(state, self.mesh)
+            if not self.is_main:
+                return path
+        else:
+            host_state = jax.device_get(state)
+        blob = serialization.to_bytes(host_state)
         with open(path, "wb") as f:
             f.write(blob)
         return path

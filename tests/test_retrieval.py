@@ -318,3 +318,77 @@ def test_dedup_hit_rate_matches_naive():
     naive = hits / q
     fast = dedup_hit_rate(retrieved.astype(np.int64), targets, histories, k)
     assert abs(fast - naive) < 1e-12
+
+
+def test_itemcf_fit_pairs_matches_naive():
+    """Chunked pair-key counting + CSR prune reproduces the dict-of-dict
+    reference similarity (itemCF_base.py:18-40) on random interactions."""
+    from collections import defaultdict
+
+    rng = np.random.default_rng(0)
+    uids, items = [], []
+    for u in range(200):
+        for it in rng.integers(0, 120, size=rng.integers(1, 25)):
+            uids.append(u)
+            items.append(int(it))
+    uids, items = np.array(uids), np.array(items)
+    cf = ItemCF(max_history=15, max_neighbors=40, pair_chunk=1000).fit_pairs(uids, items)
+
+    # naive: last-occurrence dedup, keep most recent 15, count pairs
+    lists = defaultdict(list)
+    for u, it in zip(uids.tolist(), items.tolist()):
+        lists[u].append(it)
+    cnt, co = defaultdict(int), defaultdict(int)
+    for u, lst in lists.items():
+        seen = {}
+        for idx, it in enumerate(lst):
+            seen[it] = idx
+        ordered = sorted(seen, key=lambda x: seen[x])[-15:]
+        for it in ordered:
+            cnt[it] += 1
+        for i in ordered:
+            for j in ordered:
+                if i != j:
+                    co[(i, j)] += 1
+    sim = defaultdict(dict)
+    for (i, j), c in co.items():
+        sim[i][j] = c / np.sqrt(cnt[i] * cnt[j])
+
+    ids = cf._item_ids
+    for idx in rng.choice(ids.size, 25, replace=False):
+        i = int(ids[idx])
+        s, e = cf._indptr[idx], cf._indptr[idx + 1]
+        mine = sorted(float(w) for w in cf._wgt[s:e])
+        ref = sorted(sorted(sim[i].values(), reverse=True)[:40])
+        assert len(mine) == len(ref)
+        assert np.allclose(mine, ref, atol=1e-5)
+
+
+def test_itemcf_recall_batch_and_hit_rate():
+    rng = np.random.default_rng(3)
+    interactions = {u: ([1, 2, 3, 4] if u % 2 == 0 else [10, 11, 12, 13])[: 3 + u % 2]
+                    for u in range(20)}
+    cf = ItemCF().fit(interactions)
+    topk = cf.recall_batch([[1, 2], [10, 11], [999]], k=3)
+    assert set(topk[0][topk[0] >= 0].tolist()) <= {3, 4}
+    assert set(topk[1][topk[1] >= 0].tolist()) <= {12, 13}
+    assert (topk[2] == -1).all()  # unknown-history query pads with -1
+    assert cf.hit_rate([([1, 2], 3), ([10, 11], 12)], k=3) == 1.0
+
+
+def test_interactions_from_behaviors_vectorized():
+    import pandas as pd
+
+    from news_recsys_tpu.models.itemcf import interactions_from_behaviors
+
+    df = pd.DataFrame({
+        "impression_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 8, 8],
+        "time": ["a", "b", "c", "d"],
+        "history": ["1 2", "1 2 3", "", "5"],
+        "item_id": [9, 4, 6, 5],
+        "label": [0, 1, 1, 0],
+    })
+    u, i = interactions_from_behaviors(df)
+    assert list(zip(u.tolist(), i.tolist())) == [
+        (7, 1), (7, 2), (7, 3), (7, 4), (8, 5), (8, 6)]
