@@ -37,7 +37,8 @@ def cmd_preprocess(args):
 def cmd_fe(args):
     from .data.feature_extraction import FeatureExtractionPipeline
     cfg = load_config(args.config)
-    FeatureExtractionPipeline(cfg, write_text=args.text).run()
+    FeatureExtractionPipeline(cfg, write_text=args.text,
+                              limit_rows=args.limit_rows).run()
 
 
 def cmd_train(args):
@@ -280,7 +281,8 @@ def cmd_synth(args):
     from .data.synthetic import generate_mind
     generate_mind(args.out, n_news=args.news, n_users=args.users,
                   n_impressions_train=args.train_impressions,
-                  n_impressions_dev=args.dev_impressions, seed=args.seed)
+                  n_impressions_dev=args.dev_impressions, seed=args.seed,
+                  adversarial=args.adversarial)
     print(f"Synthetic MIND written to {args.out}")
 
 
@@ -304,6 +306,9 @@ def main(argv=None):
     p = sub.add_parser("fe", help="feature extraction")
     p.add_argument("-c", "--config", required=True)
     p.add_argument("--text", action="store_true", help="also write reference text format")
+    p.add_argument("--limit-rows", type=int, default=0,
+                   help="sample: only the first N exploded rows per split "
+                        "(fast first run on real MIND; 0 = full)")
     p.set_defaults(fn=cmd_fe)
 
     p = sub.add_parser("train", help="train a model")
@@ -367,6 +372,9 @@ def main(argv=None):
     p.add_argument("--train-impressions", type=int, default=5000)
     p.add_argument("--dev-impressions", type=int, default=1500)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--adversarial", action="store_true",
+                   help="inject real-MIND text quirks (embedded quotes, empty "
+                        "abstracts, cross-split divergent duplicates, empty histories)")
     p.set_defaults(fn=cmd_synth)
 
     args = parser.parse_args(argv)

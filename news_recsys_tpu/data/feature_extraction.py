@@ -396,10 +396,14 @@ class FeatureExtractionPipeline:
     """
 
     def __init__(self, cfg: Config, label_extractor: Callable = default_label_extractor,
-                 write_text: bool = False):
+                 write_text: bool = False, limit_rows: int = 0):
         self.cfg = cfg
         self.label_extractor = label_extractor
         self.write_text = write_text
+        # sampling path for first real-data runs: keep only the first N
+        # exploded behavior rows per split (time-sorted head, so history
+        # prefixes stay self-consistent); 0 = full extraction
+        self.limit_rows = int(limit_rows)
         self.feature_names = list(cfg.features.feature_names) or sorted(
             set(cfg.features.sparse_feature_names)
             | set(cfg.features.dense_feature_names)
@@ -423,7 +427,11 @@ class FeatureExtractionPipeline:
         if not path.exists():
             return pd.DataFrame()
         cols = ["impression_id", "user_id", "time", "history", "item_id", "label"]
-        df = pd.read_csv(path, sep="\t", names=cols, quoting=3)
+        df = pd.read_csv(path, sep="\t", names=cols, quoting=3,
+                         nrows=self.limit_rows or None)
+        if self.limit_rows:
+            logger.warning(f"{split}: --limit-rows {self.limit_rows} sampling "
+                           f"active ({len(df)} rows read)")
         # history stays a raw string; sequence extractors use the vectorized
         # exploded representation (ExtractionContext.history_exploded)
         df["history"] = df["history"].fillna("").astype(str)

@@ -55,12 +55,18 @@ def build_id_maps(data_root: str, subsets=SUB_DATASETS):
     for sub in subsets:
         news_path = os.path.join(data_root, sub, "news.tsv")
         if os.path.exists(news_path):
+            # quoting=3 (QUOTE_NONE) is load-bearing on real MIND: titles
+            # contain embedded double quotes, and a field *starting* with a
+            # quote would otherwise swallow tabs/newlines and merge rows,
+            # silently corrupting the ID maps.
             news_series.append(
-                pd.read_csv(news_path, sep="\t", header=None, usecols=[0], names=["news_id"])["news_id"]
+                pd.read_csv(news_path, sep="\t", header=None, usecols=[0],
+                            names=["news_id"], quoting=3)["news_id"]
             )
         beh_path = os.path.join(data_root, sub, "behaviors.tsv")
         if os.path.exists(beh_path):
-            users = pd.read_csv(beh_path, sep="\t", header=None, usecols=[1], names=["user_id"])["user_id"]
+            users = pd.read_csv(beh_path, sep="\t", header=None, usecols=[1],
+                                names=["user_id"], quoting=3)["user_id"]
             user_series.append(users)
             if "train" in sub:
                 train_raw_users.update(users.unique())

@@ -33,8 +33,19 @@ def generate_mind(
     max_history: int = 20,
     max_candidates: int = 8,
     seed: int = 0,
+    adversarial: bool = False,
 ) -> str:
-    """Write MINDsmall_{train,dev}/{news.tsv,behaviors.tsv} under ``root``."""
+    """Write MINDsmall_{train,dev}/{news.tsv,behaviors.tsv} under ``root``.
+
+    ``adversarial=True`` injects the text quirks the *real* MIND download is
+    known to contain, so the pipeline's TSV handling is exercised before the
+    first real-data run: titles with embedded double quotes (including
+    fields that *start* with a quote — fatal unless readers use
+    ``quoting=3``), empty abstracts, apostrophes/commas/backslashes in text,
+    news ids duplicated across splits with *differing* fields (dedup must
+    keep first appearance), guaranteed empty-history rows, and entity JSON
+    with quoted labels.
+    """
     rng = np.random.default_rng(seed)
     news_ids = [f"N{i + 1}" for i in range(n_news)]
     cats = rng.integers(0, len(CATEGORIES), n_news)
@@ -53,14 +64,39 @@ def generate_mind(
             for w in item_entities[i]
         ) + "]"
 
+    def news_text(i: int, sub: str):
+        title, abstract = f"Title of item {i}", f"Abstract text {i}"
+        if adversarial:
+            m = i % 7
+            if m == 0:
+                title = f'"Quoted" start title {i}'     # field STARTS with a quote
+            elif m == 5:
+                # UNBALANCED leading quote: without QUOTE_NONE this swallows
+                # tabs+newlines across rows (the fatal real-MIND case)
+                title = f'"Unquoted start, never closed {i}'
+            elif m == 1:
+                title = f'He said "word {i}", then left'
+            elif m == 2:
+                title = f"It's item {i}, 50% off \\ more"
+            elif m == 3:
+                abstract = ""                            # real MIND: empty abstracts
+            elif m == 4:
+                abstract = f'"{i}"'                      # whole field quoted-looking
+            # dev copies of shared news differ from the train copies for a
+            # slice of items: first-appearance dedup must win
+            if sub == "MINDsmall_dev" and i % 11 == 0:
+                title = f"DEV-DIVERGED title {i}"
+        return title, abstract
+
     def write_news(sub: str, lo: int, hi: int):
         d = Path(root) / sub
         d.mkdir(parents=True, exist_ok=True)
         with open(d / "news.tsv", "w", encoding="utf-8") as f:
             for i in range(lo, hi):
+                title, abstract = news_text(i, sub)
                 f.write(
                     f"{news_ids[i]}\t{CATEGORIES[cats[i]]}\tsubcat{subcats[i]}\t"
-                    f"Title of item {i}\tAbstract text {i}\thttps://example.com/{i}\t{ent_json(i)}\t[]\n"
+                    f"{title}\t{abstract}\thttps://example.com/{i}\t{ent_json(i)}\t[]\n"
                 )
 
     # train sees the first 90%, dev all (so dev has some train-unseen news)
@@ -85,6 +121,8 @@ def generate_mind(
             for imp in range(n_impr):
                 u = int(rng.integers(users_lo, users_hi))
                 hist_len = int(rng.integers(0, max_history))
+                if adversarial and imp % 13 == 0:
+                    hist_len = 0  # guaranteed empty-history rows (NaN field)
                 fav_pool = cat_items[user_fav_cat[u]]
                 hist = [
                     int(rng.choice(fav_pool)) if (len(fav_pool) and rng.random() < 0.7)

@@ -153,3 +153,77 @@ def test_batch_iterator():
     np.testing.assert_array_equal(train_batches[0]["x"], again[0]["x"])
     ep2 = list(iterate_batches(ds, 32, shuffle=True, seed=1, epoch=1))
     assert not np.array_equal(train_batches[0]["x"], ep2[0]["x"])
+
+
+class TestAdversarialMind:
+    """Real-MIND text quirks (VERDICT round-1 #10): the full
+    preprocess -> fe cascade must survive embedded double quotes (including
+    fields starting with a quote), empty abstracts, cross-split duplicate
+    news with DIFFERING fields, and guaranteed empty histories."""
+
+    @pytest.fixture(scope="class")
+    def adv_out(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("mind_adv")
+        generate_mind(str(tmp / "raw"), n_news=120, n_users=60,
+                      n_impressions_train=150, n_impressions_dev=60, seed=3,
+                      adversarial=True)
+        cfg = make_cfg(tmp)
+        run_preprocess(cfg.paths.data_path, cfg.paths.out_basedir)
+        FeatureExtractionPipeline(cfg).run()
+        return tmp, cfg
+
+    def test_id_maps_not_corrupted_by_quotes(self, adv_out):
+        # A field starting with '"' must not swallow tabs/newlines: the news
+        # map must still contain exactly the generated N ids, contiguous.
+        tmp, cfg = adv_out
+        news_map = json.load(open(tmp / "out" / "preprocess" / "news_id_map.json"))
+        assert len(news_map) == 120
+        assert sorted(news_map.values()) == list(range(1, 121))
+        assert all(k.startswith("N") for k in news_map)
+
+    def test_dedup_keeps_first_appearance(self, adv_out):
+        # duplicate ids across splits with differing titles: merged news must
+        # keep the train (first-appearance) copy and stay one row per id.
+        import pandas as pd
+        tmp, cfg = adv_out
+        from news_recsys_tpu.data.preprocess import NEWS_COLS
+        merged = pd.read_csv(tmp / "out" / "preprocess" / "all_news_preprocess.csv",
+                             sep="\t", names=NEWS_COLS, quoting=3)
+        assert merged["news_id"].is_unique
+        # item 0 exists in train (first 90%), so its dev-diverged title lost
+        row0 = merged[merged["news_id"] == 1].iloc[0]
+        assert "DEV-DIVERGED" not in str(row0["title"])
+        # but dev-only items (>=90%) keep their (diverged) dev copy
+        assert (merged["title"].str.contains("DEV-DIVERGED")).any()
+
+    def test_quoted_titles_roundtrip(self, adv_out):
+        import pandas as pd
+        tmp, cfg = adv_out
+        from news_recsys_tpu.data.preprocess import NEWS_COLS
+        merged = pd.read_csv(tmp / "out" / "preprocess" / "all_news_preprocess.csv",
+                             sep="\t", names=NEWS_COLS, quoting=3)
+        assert merged["title"].str.startswith('"Quoted"').any()
+        assert merged["title"].str.contains('said "word').any()
+
+    def test_cascade_features_valid(self, adv_out):
+        tmp, cfg = adv_out
+        ds = PackedDataset.open_split(cfg, "train")
+        n = len(ds.arrays["label"])
+        assert n > 0
+        for name in ["user_id", "item_id", "category"]:
+            assert ds.arrays[name].min() >= 1
+            assert ds.arrays[name].max() < cfg.embeddings.embedding_table_size[name]
+
+
+def test_fe_limit_rows(tmp_path):
+    generate_mind(str(tmp_path / "raw"), n_news=80, n_users=40,
+                  n_impressions_train=100, n_impressions_dev=40, seed=5)
+    cfg = make_cfg(tmp_path)
+    run_preprocess(cfg.paths.data_path, cfg.paths.out_basedir)
+    FeatureExtractionPipeline(cfg, limit_rows=64).run()
+    ds = PackedDataset.open_split(cfg, "train")
+    assert len(ds.arrays["label"]) == 64
+    # limited extraction is the head of the full one (time-sorted prefix)
+    FeatureExtractionPipeline(cfg).run()
+    full = PackedDataset.open_split(cfg, "train")
+    np.testing.assert_array_equal(full.arrays["item_id"][:64], ds.arrays["item_id"])
