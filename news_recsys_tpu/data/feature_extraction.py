@@ -404,6 +404,8 @@ class FeatureExtractionPipeline:
         # exploded behavior rows per split (time-sorted head, so history
         # prefixes stay self-consistent); 0 = full extraction
         self.limit_rows = int(limit_rows)
+        if self.limit_rows < 0:
+            raise ValueError(f"limit_rows must be >= 0, got {limit_rows}")
         self.feature_names = list(cfg.features.feature_names) or sorted(
             set(cfg.features.sparse_feature_names)
             | set(cfg.features.dense_feature_names)
@@ -427,11 +429,20 @@ class FeatureExtractionPipeline:
         if not path.exists():
             return pd.DataFrame()
         cols = ["impression_id", "user_id", "time", "history", "item_id", "label"]
+        # read one extra row so an nrows cut can be detected and snapped to an
+        # impression boundary (a truncated final candidate list would bias the
+        # per-impression grouped dev metrics, AUC/MRR per impression)
         df = pd.read_csv(path, sep="\t", names=cols, quoting=3,
-                         nrows=self.limit_rows or None)
-        if self.limit_rows:
+                         nrows=(self.limit_rows + 1) if self.limit_rows else None)
+        if self.limit_rows and len(df) > self.limit_rows:
+            extra_imp = df["impression_id"].iloc[self.limit_rows]
+            df = df.iloc[: self.limit_rows]
+            if df["impression_id"].iloc[-1] == extra_imp:
+                # the cut split an impression: drop its partial head entirely
+                df = df[df["impression_id"] != extra_imp]
             logger.warning(f"{split}: --limit-rows {self.limit_rows} sampling "
-                           f"active ({len(df)} rows read)")
+                           f"active ({len(df)} rows kept, cut on an "
+                           "impression boundary)")
         # history stays a raw string; sequence extractors use the vectorized
         # exploded representation (ExtractionContext.history_exploded)
         df["history"] = df["history"].fillna("").astype(str)

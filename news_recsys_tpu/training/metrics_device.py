@@ -39,36 +39,6 @@ def _masked_mean(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(denom > 0, jnp.sum(vals * mask) / jnp.maximum(denom, 1.0), 0.0)
 
 
-def _pooled_auc_ll(scores, labels, row_mask):
-    """Rank-formula AUC over masked rows (logloss is finalized on host in
-    f64: the reference's 1e-15 clipping is unrepresentable in f32)."""
-    n = scores.shape[0]
-    # average ranks ascending among masked rows: sort by (mask desc, score)
-    key_score = jnp.where(row_mask, scores, BIG)
-    order = jnp.lexsort((jnp.arange(n), key_score))
-    s_sorted = key_score[order]
-    m_sorted = row_mask[order]
-    new_group = jnp.concatenate([jnp.ones(1, bool), s_sorted[1:] != s_sorted[:-1]])
-    g_start = _segment_starts(new_group)
-    # group length: next group's start - start
-    seg_id = jnp.cumsum(new_group) - 1
-    counts = jax.ops.segment_sum(jnp.ones(n), seg_id, num_segments=n)
-    avg_rank_sorted = g_start + (counts[seg_id] + 1.0) / 2.0  # 1-based within full array
-    ranks = jnp.zeros(n).at[order].set(avg_rank_sorted)
-
-    labels_f = labels.astype(jnp.float32) * row_mask
-    npos = jnp.sum(labels_f)
-    nvalid = jnp.sum(row_mask)
-    nneg = nvalid - npos
-    pos_rank_sum = jnp.sum(ranks * labels_f)
-    auc = jnp.where(
-        (npos > 0) & (nneg > 0),
-        (pos_rank_sum - npos * (npos + 1) / 2.0) / jnp.maximum(npos * nneg, 1.0),
-        0.0,
-    )
-    return auc, jnp.float32(0.0)  # logloss placeholder, filled on host
-
-
 @partial(jax.jit, static_argnames=("k",))
 def _compute(uids, scores, labels, warm_rows, k: int):
     n = uids.shape[0]
@@ -124,11 +94,12 @@ def _compute(uids, scores, labels, warm_rows, k: int):
         both, (pos_rank_sum - npos * (npos + 1) / 2.0) / jnp.maximum(npos * nneg, 1.0), 0.0)
 
     def cohort(user_mask, row_mask):
-        auc, ll = _pooled_auc_ll(scores, labels.astype(jnp.float32), row_mask.astype(jnp.float32))
+        # pooled AUC and LogLoss are finalized on HOST in f64 (see
+        # compute_user_metrics_device): at MIND-dev scale (~2.6M rows) the
+        # global positive-rank sum reaches ~1e12 where f32 ulp is ~1e5 —
+        # f32 on-device sums cannot guarantee parity with the reference.
         um = (user_mask & user_exists).astype(jnp.float32)
         return {
-            "AUC": auc,
-            "LogLoss": ll,
             "GAUC": _masked_mean(user_auc, um * both.astype(jnp.float32)),
             f"NDCG@{k}": _masked_mean(ndcg, um),
             f"HR@{k}": _masked_mean(hr, um),
@@ -165,10 +136,14 @@ def compute_user_metrics_device(user_ids, scores, labels, warm_user_set=None,
         result[cohort] = {kk: (int(v) if kk == "User_Count" else float(v))
                           for kk, v in vals.items()}
     result["Overall"].pop("User_Count", None)
-    # logloss in f64 on host (exact reference clipping semantics)
-    from .metrics import pooled_logloss
+    # pooled AUC + LogLoss in f64 on host, with the SAME functions the host
+    # engine uses (exact parity by construction): the logloss 1e-15 clip is
+    # unrepresentable in f32, and at n >= ~2M the rank sums exceed what f32
+    # summation can carry (rank sums ~1e12, f32 ulp there ~1e5).
+    from .metrics import pooled_auc, pooled_logloss
     masks = {"Overall": np.ones(len(user_ids), bool),
              "Warm_Start": warm_rows, "Cold_Start": ~warm_rows}
     for cohort, m in masks.items():
+        result[cohort]["AUC"] = pooled_auc(labels[m], scores[m]) if m.any() else 0.0
         result[cohort]["LogLoss"] = pooled_logloss(labels[m], scores[m]) if m.any() else 0.0
     return result

@@ -643,13 +643,27 @@ class Trainer:
             if restored:
                 # map the restored global step back onto (epoch, intra-epoch
                 # offset) so the resumed run continues the SAME data order —
-                # no rows replayed, none skipped.
+                # no rows replayed, none skipped. The divmod is exact even
+                # across max_step-truncated sessions: train_epoch's cap
+                # (``min(nb_full - start, max_step - global_step)``) can only
+                # shorten the FINAL epoch of a session (fit breaks as soon as
+                # global_step reaches max_step), so every epoch before the
+                # current one contributed exactly steps_per_epoch steps and
+                # ``global_step == epoch * steps_per_epoch + offset`` always
+                # holds (multi-session regression:
+                # tests/test_checkpoint.py::test_resume_across_truncated_epochs).
                 steps_per_epoch = max(1, len(train_ds) // self.cfg.dataset.batch_size)
                 start_epoch = self.global_step // steps_per_epoch
                 skip = self.global_step % steps_per_epoch
                 logger.info(f"Resuming at step {self.global_step} "
                             f"(epoch {start_epoch}, offset {skip} batches)")
         for epoch in range(start_epoch, max_epochs):
+            if self.global_step >= hp.max_step:
+                # e.g. resumed from a checkpoint already at max_step: training
+                # a 0-step epoch would re-validate and re-checkpoint the same
+                # state under the next epoch number.
+                logger.info(f"Already at max_step={hp.max_step}; nothing to train.")
+                break
             state, _ = self.train_epoch(state, train_ds, epoch,
                                         skip_steps=skip if epoch == start_epoch else 0)
             if dev_ds is not None and (epoch + 1) % hp.val_freq == 0:

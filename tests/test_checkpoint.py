@@ -184,6 +184,77 @@ def test_mid_epoch_resume_exact_data_order(tmp_path):
     np.testing.assert_allclose(p_ref, p_c, atol=1e-5)
 
 
+def test_resume_across_truncated_epochs(tmp_path):
+    """Resume ACROSS max_step-truncated epochs (multi-session continuation
+    with a raised max_step each time) must replay/skip no rows: the final
+    state matches an uninterrupted run and the last epoch's val_log block is
+    byte-identical."""
+    import dataclasses
+    cfg = make_cfg()
+    ds = make_ds(n=512)      # 8 steps/epoch at bs=64
+    dev = make_ds(n=256, seed=1)
+    model = build_ranker(cfg, "deep")
+
+    def with_hp(**kw):
+        return dataclasses.replace(cfg, train_hparams=dataclasses.replace(
+            cfg.train_hparams, **kw))
+
+    # uninterrupted reference: 3 epochs = 24 steps
+    t_ref = Trainer(with_hp(max_step=100), model,
+                    workdir=str(tmp_path / "ref"), use_mesh=False)
+    s_ref = t_ref.fit(ds, dev_ds=dev, max_epochs=3)
+    p_ref = t_ref.predict(s_ref.params, ds)
+
+    # session A: truncated mid-epoch-1 at step 12 (ckpt lands exactly there)
+    t_a = Trainer(with_hp(max_step=12, ckpt_every_steps=4), model,
+                  workdir=str(tmp_path / "a"), use_mesh=False)
+    t_a.fit(ds, dev_ds=dev, max_epochs=3)
+    assert t_a.global_step == 12
+
+    # session B: resumes at (epoch 1, offset 4), truncated again mid-epoch-2
+    t_b = Trainer(with_hp(max_step=20, ckpt_every_steps=4), model,
+                  workdir=str(tmp_path / "b"), use_mesh=False)
+    t_b.ckpt_dir = t_a.ckpt_dir
+    t_b.fit(ds, dev_ds=dev, max_epochs=3, resume=True)
+    assert t_b.global_step == 20
+
+    # session C: resumes at (epoch 2, offset 4) and completes epoch 2
+    t_c = Trainer(with_hp(max_step=100), model,
+                  workdir=str(tmp_path / "c"), use_mesh=False)
+    t_c.ckpt_dir = t_b.ckpt_dir
+    s_c = t_c.fit(ds, dev_ds=dev, max_epochs=3, resume=True)
+    assert t_c.global_step == 24
+    p_c = t_c.predict(s_c.params, ds)
+    np.testing.assert_allclose(p_ref, p_c, atol=1e-6)
+
+    # the completed epoch-2 validation block must match byte-for-byte
+    def last_block(path):
+        text = open(path).read()
+        return text[text.rindex("Epoch 2 "):]
+    assert last_block(t_c.val_log_path) == last_block(t_ref.val_log_path)
+
+
+def test_resume_at_max_step_is_noop(tmp_path):
+    """Resuming from a checkpoint already at max_step must not re-validate or
+    re-checkpoint a 0-step epoch."""
+    import dataclasses
+    cfg = make_cfg()
+    cfg = dataclasses.replace(cfg, train_hparams=dataclasses.replace(
+        cfg.train_hparams, max_step=8, ckpt_every_steps=4))
+    ds = make_ds(n=512)
+    model = build_ranker(cfg, "deep")
+    t = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    t.fit(ds, max_epochs=3)
+    assert t.global_step == 8
+
+    t2 = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    t2.fit(ds, max_epochs=3, resume=True)
+    assert t2.global_step == 8
+    # no new checkpoints beyond session 1's
+    assert list(t2.checkpoint_manager().all_steps()) == [4, 8]
+    assert open(t2.val_log_path).read() == ""
+
+
 def test_adagrad_state_sharded_roundtrip(tmp_path):
     """Orbax save/restore for the rowwise-adagrad state ((V,) accumulator,
     empty emb_nu)."""

@@ -28,6 +28,31 @@ def test_device_matches_host(quantize):
             assert dev[cohort][key] == pytest.approx(val, abs=2e-5), (cohort, key)
 
 
+def test_device_matches_host_large_n():
+    """MIND-dev-scale parity (~2.6M rows): at this size the global positive
+    rank sum reaches ~1e12 where f32 ulp is ~1e5, so pooled AUC/LogLoss are
+    finalized on host in f64 — this test pins that down. Ties included
+    (quantized scores); a few heavy users (~30k rows) stress the per-user
+    f32 rank sums too."""
+    rng = np.random.default_rng(7)
+    n = 2_600_000
+    n_users = 120_000
+    uids = rng.integers(1, n_users + 1, n)
+    uids[: 150_000] = rng.integers(1, 6, 150_000)    # heavy users: ~30k rows each
+    scores = np.round(rng.random(n) * 50_000) / 50_000      # ties
+    labels = (rng.random(n) < 0.08).astype(np.float64)
+    warm = set(range(1, n_users // 2))
+    host = compute_user_metrics(uids, scores, labels, warm)
+    dev = compute_user_metrics_device(uids, scores, labels, warm)
+    for cohort in ("Overall", "Warm_Start", "Cold_Start"):
+        for key, val in host[cohort].items():
+            # AUC/LogLoss share the host engine's f64 code path; the residual
+            # 1e-8-scale difference is f64 summation order (sorted vs raw).
+            tol = 0 if key == "User_Count" else (
+                1e-7 if key in ("AUC", "LogLoss") else 1e-6)
+            assert dev[cohort][key] == pytest.approx(val, abs=tol), (cohort, key)
+
+
 def test_device_no_warm_set():
     rng = np.random.default_rng(1)
     uids, scores, labels, _ = _make(rng, n=1000, n_users=60)
