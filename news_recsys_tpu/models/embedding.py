@@ -118,6 +118,18 @@ class EmbeddingCollection(nn.Module):
         mask = mask.astype(emb.dtype)[..., None]
         return (emb * mask).sum(axis=1) / (mask.sum(axis=1) + 1e-8)
 
+    @staticmethod
+    def _use_fused_pool(table) -> bool:
+        """Route pooled array lookups through the Pallas fused kernel?
+
+        Gated off (the default) unless NRT_PALLAS enables kernels; excluded
+        under an explicit-collectives mesh (the kernel would bypass the
+        shard_map lookup) and for bf16 tables (fp32 slab tiling)."""
+        from ..ops import pallas_mode
+        from ..parallel.sharded_embedding import active_mesh
+        return (pallas_mode() != "off" and active_mesh() is None
+                and table.dtype == jnp.float32)
+
     # -- batch-level contract ----------------------------------------------
 
     def embed_fields(self, batch: Dict[str, jnp.ndarray], schema: FeatureSchema,
@@ -142,14 +154,24 @@ class EmbeddingCollection(nn.Module):
                         "features.array_feature_names (with array_max_length).")
                 parts.append(self.lookup(spec.table, val))
             elif spec.kind == ARRAY:
-                emb = self.lookup(spec.table, val)               # (B, L, D)
                 if spec.name in unpooled:
-                    parts.append(emb)
+                    parts.append(self.lookup(spec.table, val))   # (B, L, D)
                     continue
                 mask = batch.get(f"{spec.name}_mask")
                 if mask is None:
                     mask = (val != 0)
-                parts.append(self.pool(emb, mask))
+                table = self._tables[spec.table]
+                if self._use_fused_pool(table):
+                    # Pallas fused gather+masked-mean (NRT_PALLAS gate):
+                    # streams table rows HBM->VMEM and writes only the
+                    # (B, D) pooled result — the (B, L, D) gathered
+                    # embeddings never round-trip HBM. Exact math parity
+                    # with lookup+pool (ops/fused_lookup_pool.py; padding
+                    # id 0 carries zero value, weight, and grad).
+                    from ..ops.fused_lookup_pool import fused_lookup_pool
+                    parts.append(fused_lookup_pool(table, val, mask))
+                    continue
+                parts.append(self.pool(self.lookup(spec.table, val), mask))
             else:
                 raise ValueError(spec.kind)
         return parts

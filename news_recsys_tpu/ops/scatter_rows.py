@@ -6,8 +6,9 @@ materializes a full-table HBM pass for every (V, D) scatter (measured
 rowwise embedding optimizers (``training/sparse_step.py``). This kernel
 moves only the *touched* 8-row slabs through VMEM instead:
 
-- grid = one step per slot, over rows sorted ascending (the sparse step
-  already sorts+dedups ids; equal/padded rows are consecutive);
+- grid = one step per slot, over rows sorted ascending (the sparse step's
+  ``layout="sorted"`` dedup emits rows non-decreasing with duplicate slots
+  carrying identical values; see ``sparse_step._dedup_rows``);
 - the table is passed as input AND aliased to the output, with both
   windows selected by the scalar-prefetched row ids (``rows[i] // 8``) —
   Pallas only fetches/writes back the touched slabs, untouched regions of
@@ -27,7 +28,15 @@ slab, so traffic ~ S * 16 * D * 4 B — at 94k x 32 / S=512 that is ~1 MB vs
 XLA's ~24 MB full pass, but the kernel is *latency*-bound on per-step
 window DMAs while XLA's pass is a streaming copy. Which wins is an
 empirical question per shape; ``scripts/kernel_bench.py`` measures it at
-the real MIND shapes and ``ops.flags`` gates the default.
+the real MIND shapes (committed: ``artifacts/kernel_bench_r03.json``) and
+``ops.pallas_mode()`` (env ``NRT_PALLAS``) gates the default in
+``training/sparse_step.py``.
+
+SORTEDNESS CONTRACT: ``rows`` must be non-decreasing and duplicate rows
+must carry identical values — a revisited slab re-fetches its window from
+the aliased buffer racing the earlier write-back. The sparse step's
+sorted-dedup layout establishes both invariants; standalone callers must
+too (checked in interpret mode).
 """
 
 from __future__ import annotations
@@ -61,6 +70,15 @@ def _scatter_pallas(table: jnp.ndarray, rows: jnp.ndarray, vals: jnp.ndarray,
     s = rows.shape[0]
     v, d = table.shape
     assert v % SLAB == 0, f"padded vocab must be a multiple of {SLAB}, got {v}"
+    if interpret:
+        # debug-mode sortedness check (ADVICE r02): unsorted rows silently
+        # corrupt the table in compiled mode, so the CPU/interpret path
+        # (exercised by every test) asserts the contract on host
+        def _assert_sorted(r):
+            import numpy as np
+            assert (np.diff(r) >= 0).all(), \
+                "scatter_rows_set: rows must be non-decreasing"
+        jax.debug.callback(_assert_sorted, rows)
     slab_idx = lambda i, rows: (rows[i] // SLAB, 0)
     return pl.pallas_call(
         _kernel,
@@ -85,13 +103,19 @@ def _scatter_xla(table, rows, vals):
     return table.at[rows].set(vals)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def scatter_rows_set(table, rows, vals, use_pallas: bool = False):
+@functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"),
+                   donate_argnums=(0,))
+def scatter_rows_set(table, rows, vals, use_pallas: bool = False,
+                     interpret: bool = False):
     """``table.at[rows].set(vals)`` with ``rows`` sorted non-decreasing.
 
-    Duplicate rows must carry identical values (the sparse step routes all
-    padded slots to one spare row with unchanged values, sparse_step.py).
+    Duplicate rows must carry identical values (the sparse step's sorted
+    layout gives duplicates the same summed gradient, so their computed
+    updates are identical; see ``sparse_step._dedup_rows``). ``table`` is
+    donated: standalone calls update in place instead of paying a
+    defensive full-table copy; inside a larger jit it is an intermediate
+    buffer anyway.
     """
     if use_pallas:
-        return _scatter_pallas(table, rows, vals)
+        return _scatter_pallas(table, rows, vals, interpret=interpret)
     return _scatter_xla(table, rows, vals)

@@ -110,11 +110,22 @@ def make_dense_tx(cfg: Config) -> optax.GradientTransformation:
     return optax.adamw(sched, b1=hp.b1, b2=hp.b2, weight_decay=hp.weight_decay)
 
 
-def _dedup_rows(ids_flat: jnp.ndarray, grads_flat: jnp.ndarray, spare_row: int):
+def _dedup_rows(ids_flat: jnp.ndarray, grads_flat: jnp.ndarray, spare_row: int,
+                layout: str = "xla"):
     """Combine duplicate ids; return (rows, grads, is_active) of length N.
 
-    Active slots carry a unique real id with its summed gradient; inactive
-    slots point at ``spare_row`` with zero gradient.
+    ``layout="xla"``: active slots carry a unique real id with its summed
+    gradient; inactive slots point at ``spare_row`` with zero gradient
+    (scatter order is irrelevant — every row is written at most once with a
+    real value).
+
+    ``layout="sorted"`` (the Pallas scatter contract,
+    ``ops.scatter_rows``): rows stay non-decreasing — duplicate slots KEEP
+    their id and carry the SAME summed gradient as their first occurrence,
+    so the optimizer computes identical updated values for them and a
+    last-write-wins set-scatter is exact; invalid (padding-id) slots route
+    to ``spare_row``, which must be >= every real id to preserve sortedness
+    (``padded_vocab - 1`` qualifies).
     """
     n = ids_flat.shape[0]
     valid = ids_flat != 0                               # padding id never updates
@@ -126,6 +137,11 @@ def _dedup_rows(ids_flat: jnp.ndarray, grads_flat: jnp.ndarray, spare_row: int):
     seg = jnp.cumsum(first) - 1
     gsum = jax.ops.segment_sum(sg, seg, num_segments=n)
     active = first & (sids < 2**30)
+    if layout == "sorted":
+        valid_slot = sids < 2**30
+        rows = jnp.where(valid_slot, sids, spare_row)
+        grads = jnp.where(valid_slot[:, None], gsum[seg], 0.0)
+        return rows, grads, active
     rows = jnp.where(active, sids, spare_row)
     grads = jnp.where(active[:, None], gsum[seg], 0.0)
     return rows, grads, active
@@ -147,12 +163,18 @@ def stochastic_round_bf16(x: jnp.ndarray, key) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
 
 
-def rowwise_adam_update(table, mu, nu, rows, grads, lr, t, b1, b2, eps, wd, key=None):
+def _default_scatter(table, rows, vals):
+    return table.at[rows].set(vals)
+
+
+def rowwise_adam_update(table, mu, nu, rows, grads, lr, t, b1, b2, eps, wd,
+                        key=None, scatter=_default_scatter):
     """Adam on the given rows only (global-step bias correction).
 
     Math runs in fp32 regardless of the table's storage dtype; a bf16 table
     gets its updated rows written back with stochastic rounding (``key``
-    required).
+    required). ``scatter`` applies the (V, D) set-scatters (XLA default, or
+    the Pallas touched-slab kernel via ``make_table_updater``).
     """
     p_rows = table[rows].astype(jnp.float32)
     mu_rows = mu[rows]
@@ -170,17 +192,19 @@ def rowwise_adam_update(table, mu, nu, rows, grads, lr, t, b1, b2, eps, wd, key=
     else:
         p_new = p_new.astype(table.dtype)
     return (
-        table.at[rows].set(p_new),
-        mu.at[rows].set(mu_new),
-        nu.at[rows].set(nu_new),
+        scatter(table, rows, p_new),
+        scatter(mu, rows, mu_new),
+        scatter(nu, rows, nu_new),
     )
 
 
-def rowwise_adagrad_update(table, acc, rows, grads, lr, eps=1e-10, key=None):
+def rowwise_adagrad_update(table, acc, rows, grads, lr, eps=1e-10, key=None,
+                           scatter=_default_scatter):
     """Rowwise AdaGrad on the given rows (TPUEmbedding/torchrec semantics):
     one scalar accumulator per row, ``acc += mean(g^2)``,
     ``p -= lr * g / sqrt(acc)``. Math in fp32; bf16 tables get
-    stochastic-rounded write-back."""
+    stochastic-rounded write-back. ``scatter`` applies the (V, D) table
+    set-scatter (the (V,) accumulator scatter is ~free and stays XLA)."""
     g2 = jnp.mean(grads * grads, axis=-1)                  # (N,)
     acc_rows = acc[rows] + g2
     p_rows = table[rows].astype(jnp.float32)
@@ -190,7 +214,7 @@ def rowwise_adagrad_update(table, acc, rows, grads, lr, eps=1e-10, key=None):
         p_new = stochastic_round_bf16(p_new, key)
     else:
         p_new = p_new.astype(table.dtype)
-    return table.at[rows].set(p_new), acc.at[rows].set(acc_rows)
+    return scatter(table, rows, p_new), acc.at[rows].set(acc_rows)
 
 
 OOB_ROW = jnp.int32(2**29)  # routes a slot's update out of every shard's range
@@ -337,7 +361,7 @@ def fields_from_rows(schema, batch, rows, small_tbls, large, unpooled=()):
     return fields, masks
 
 
-def _joint_dedup(per_table, table_vocab, spare):
+def _joint_dedup(per_table, table_vocab, spare, layout: str = "xla"):
     """Sort-dedup the touched ids of ALL large tables in ONE joint sort.
 
     A TPU sort costs O(log^2 n) bitonic stages with a large fixed cost per
@@ -361,7 +385,7 @@ def _joint_dedup(per_table, table_vocab, spare):
                        jnp.concatenate([p[1] for p in pairs]))
     if len(names) == 1:
         t = names[0]
-        rows, grads, _ = _dedup_rows(*flat[t], spare[t])
+        rows, grads, _ = _dedup_rows(*flat[t], spare[t], layout=layout)
         return {t: (rows, grads)}
     dmax = max(g.shape[-1] for _, g in flat.values())
     offsets, off = {}, 0
@@ -376,7 +400,8 @@ def _joint_dedup(per_table, table_vocab, spare):
         off += int(table_vocab[tname][0]) + 1
     assert off < 2**29, "joint id space must stay below the sort sentinel"
     rows_j, grads_j, _ = _dedup_rows(
-        jnp.concatenate(joint_ids), jnp.concatenate(joint_g), int(OOB_ROW))
+        jnp.concatenate(joint_ids), jnp.concatenate(joint_g), int(OOB_ROW),
+        layout=layout)
     out = {}
     for tname in names:
         v, d = table_vocab[tname]
@@ -386,8 +411,20 @@ def _joint_dedup(per_table, table_vocab, spare):
         # spare row, which must keep _dedup_rows' "inactive slots carry zero
         # gradient" contract (otherwise the non-sharded spare padding row and
         # its optimizer accumulator silently integrate other tables' grads)
-        out[tname] = (jnp.where(mine, local, spare[tname]),
-                      jnp.where(mine[:, None], grads_j[:, :d], 0.0))
+        if layout == "sorted":
+            # keep the per-table row arrays non-decreasing (Pallas scatter
+            # contract): rows_j is sorted, so the offset-shifted ``local`` is
+            # monotonic and CLIPPING (not re-routing) preserves that.
+            # Below-range foreign slots clamp to the padding row 0 (moments
+            # identically zero -> value stays exactly 0); above-range ones
+            # keep their clipped value in [v, spare] — zero-grad AdamW
+            # weight-decay may perturb those rows, but they sit ABOVE every
+            # real id so no lookup can ever read them.
+            out[tname] = (jnp.clip(local, 0, spare[tname]),
+                          jnp.where(mine[:, None], grads_j[:, :d], 0.0))
+        else:
+            out[tname] = (jnp.where(mine, local, spare[tname]),
+                          jnp.where(mine[:, None], grads_j[:, :d], 0.0))
     return out
 
 
@@ -411,11 +448,35 @@ def make_table_updater(cfg: Config, tables_spec, mesh=None):
         spare = {t: padded_vocab(v) - 1 for t, (v, d) in table_vocab.items()}
         sharded_update = None
 
+    # Pallas touched-slab scatter (ops.scatter_rows) for the (V, D)
+    # set-scatters, gated by NRT_PALLAS. Non-sharded paths only: the
+    # shard_map path routes foreign slots to OOB_ROW, which JAX scatter
+    # drops but would break the kernel's sorted-window walk. bf16 tables
+    # stay XLA (the 8-row slab is the fp32 sublane tile). Default comes
+    # from the measured on-chip data in artifacts/kernel_bench_r03.json.
+    from ..ops import pallas_mode
+    mode = pallas_mode()
+    # bf16 excluded entirely: beyond the tile-shape mismatch, the sorted
+    # layout's duplicate slots would stochastic-round the same row with
+    # different noise, making the last-write-wins scatter nondeterministic.
+    pallas_scatter = (mode != "off" and sharded_update is None
+                      and cfg.mesh.param_dtype != "bfloat16")
+    layout = "sorted" if pallas_scatter else "xla"
+    if pallas_scatter:
+        from ..ops.scatter_rows import scatter_rows_set
+        interp = mode == "interpret"
+
+        def scatter(tbl, rows, vals):
+            return scatter_rows_set(tbl, rows, vals, use_pallas=True,
+                                    interpret=interp)
+    else:
+        scatter = _default_scatter
+
     def update(tables, emb_mu, emb_nu, per_table, step, lr_t):
         step1 = step + 1
         new_tables, new_mu, new_nu = dict(tables), dict(emb_mu), dict(emb_nu)
         step_key = jax.random.fold_in(jax.random.PRNGKey(hp.seed), step)
-        per_table_rows = _joint_dedup(per_table, table_vocab, spare)
+        per_table_rows = _joint_dedup(per_table, table_vocab, spare, layout=layout)
         for ti, (tname, (rows, grads)) in enumerate(sorted(per_table_rows.items())):
             tkey = jax.random.fold_in(step_key, ti)
             if adagrad:
@@ -424,7 +485,8 @@ def make_table_updater(cfg: Config, tables_spec, mesh=None):
                         tables[tname], emb_mu[tname], rows, grads, lr_t, key=tkey)
                 else:
                     new_tables[tname], new_mu[tname] = rowwise_adagrad_update(
-                        tables[tname], emb_mu[tname], rows, grads, lr_t, key=tkey)
+                        tables[tname], emb_mu[tname], rows, grads, lr_t, key=tkey,
+                        scatter=scatter)
             elif sharded_update is not None:
                 new_tables[tname], new_mu[tname], new_nu[tname] = sharded_update(
                     tables[tname], emb_mu[tname], emb_nu[tname],
@@ -434,7 +496,7 @@ def make_table_updater(cfg: Config, tables_spec, mesh=None):
                 new_tables[tname], new_mu[tname], new_nu[tname] = rowwise_adam_update(
                     tables[tname], emb_mu[tname], emb_nu[tname],
                     rows, grads, lr_t, step1, hp.b1, hp.b2, 1e-8, hp.weight_decay,
-                    key=tkey)
+                    key=tkey, scatter=scatter)
         return new_tables, new_mu, new_nu
 
     return update

@@ -222,8 +222,19 @@ def test_fe_limit_rows(tmp_path):
     run_preprocess(cfg.paths.data_path, cfg.paths.out_basedir)
     FeatureExtractionPipeline(cfg, limit_rows=64).run()
     ds = PackedDataset.open_split(cfg, "train")
-    assert len(ds.arrays["label"]) == 64
+    n = len(ds.arrays["label"])
+    # the cut snaps DOWN to an impression boundary (never splits a
+    # candidate list, which would bias grouped dev metrics)
+    assert 0 < n <= 64
     # limited extraction is the head of the full one (time-sorted prefix)
     FeatureExtractionPipeline(cfg).run()
     full = PackedDataset.open_split(cfg, "train")
-    np.testing.assert_array_equal(full.arrays["item_id"][:64], ds.arrays["item_id"])
+    np.testing.assert_array_equal(full.arrays["item_id"][:n], ds.arrays["item_id"])
+    # boundary property: row n starts a different impression than row n-1
+    ids = full.arrays["impression_id"] if "impression_id" in full.arrays else None
+    if ids is not None and n < len(full.arrays["label"]):
+        assert ids[n] != ids[n - 1]
+
+    import pytest
+    with pytest.raises(ValueError):
+        FeatureExtractionPipeline(cfg, limit_rows=-1)
