@@ -1,0 +1,159 @@
+"""Train the full ranking zoo at MIND scale on learnable synthetic data and
+record the training-quality evidence the reference's acceptance mechanism is
+built on (per-epoch val blocks + best-epoch tables,
+``/root/reference/src/model/BaseModel/base_model.py:494-528``,
+``src/scripts/log_analysis.py:86-133``, scoreboard ``README.md:91-97``).
+
+Usage (after preprocess+fe on the full-scale synth):
+
+    python scripts/fullscale_rankers.py --config /tmp/fullscale/base.yaml \
+        --epochs 8 --out artifacts/rankers_fullscale_r03.json \
+        --val-logs artifacts/fullscale_r03
+
+Runs each model in a fresh subprocess (clean device memory), parses its
+val_log.log for the best epoch by Warm-Start AUC (the reference's criterion)
+and writes one JSON artifact + the raw val_log files.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MODELS = ["lr", "deep", "widedeep", "fm", "dcn"]
+
+
+def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
+              chunk_steps: int = 0) -> dict:
+    import dataclasses
+
+    import yaml
+
+    from news_recsys_tpu.config import load_config, config_to_dict
+
+    cfg = load_config(config)
+    raw = config_to_dict(cfg)
+    raw["name"] = name
+    if name == "lr":
+        # LR keeps the reference's dense AdamW: its dim-1 tables make the
+        # rowwise path pointless, and AdamW's per-element adaptive step is
+        # what digs the torch-default N(0,1) bias init out of its own noise
+        optimizer = "adamw"
+    raw["train_hparams"]["embedding_optimizer"] = optimizer
+    if chunk_steps:
+        raw["train_hparams"]["chunk_steps"] = chunk_steps
+    if name == "widedeep":
+        raw.setdefault("wide_and_deep_cfg", {})["wide_feature_names"] = [
+            "category", "subcategory"]
+        # wide features: dim 0 is the wide column (reference uses 16+1)
+        for f in raw["wide_and_deep_cfg"]["wide_feature_names"]:
+            raw["embeddings"]["embedding_size"][f] = 17
+    if name == "dcn":
+        raw.setdefault("dcn_cfg", {"num_layers": 3, "version": 1})
+    model_cfg = os.path.join(workdir, f"{name}.yaml")
+    with open(model_cfg, "w") as f:
+        yaml.safe_dump(raw, f)
+
+    exp_dir = os.path.join(workdir, f"exp_{name}")
+    if os.path.exists(exp_dir):   # stale logs would pollute parse_log
+        shutil.rmtree(exp_dir)
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "news_recsys_tpu", "train", "-c", model_cfg,
+         "-m", name, "--workdir", exp_dir, "--epochs", str(epochs)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        print(proc.stdout[-4000:])
+        print(proc.stderr[-4000:])
+        raise RuntimeError(f"{name} training failed (rc={proc.returncode})")
+
+    from news_recsys_tpu.utils.log_analysis import parse_log
+    epochs_parsed = parse_log(os.path.join(exp_dir, "val_log.log"))
+    best = max(epochs_parsed,
+               key=lambda e: e["data"].get("Warm Start Users", {}).get("AUC", 0.0))
+    # examples/sec from metrics.jsonl (last train entry)
+    exps = []
+    with open(os.path.join(exp_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "examples_per_sec" in rec:
+                exps.append(rec["examples_per_sec"])
+    return {
+        "model": name,
+        "optimizer": optimizer,
+        "epochs": epochs,
+        "wall_seconds": round(wall, 1),
+        "examples_per_sec_last": round(exps[-1], 1) if exps else None,
+        "best_epoch": best["epoch"],
+        "best": {coh.replace(" Users", "").replace(" ", "_"):
+                 {k: round(v, 5) for k, v in vals.items()}
+                 for coh, vals in best["data"].items()},
+        "exp_dir": exp_dir,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="base full-scale yaml")
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--models", default=",".join(MODELS))
+    ap.add_argument("--optimizer", default="rowwise_adagrad")
+    ap.add_argument("--chunk-steps", type=int, default=0)
+    ap.add_argument("--lr-epochs", type=int, default=0,
+                    help="override epochs for the lr model (it needs the "
+                         "reference's long recipe to escape its N(0,1) init)")
+    ap.add_argument("--workdir", default="/tmp/fullscale")
+    ap.add_argument("--out", default="artifacts/rankers_fullscale_r03.json")
+    ap.add_argument("--val-logs", default="artifacts/fullscale_r03")
+    args = ap.parse_args()
+
+    results = []
+    for name in args.models.split(","):
+        print(f"=== {name} ===", flush=True)
+        epochs = (args.lr_epochs or args.epochs) if name == "lr" else args.epochs
+        res = run_model(name, args.config, epochs, args.workdir, args.optimizer,
+                        chunk_steps=args.chunk_steps)
+        print(json.dumps({k: v for k, v in res.items() if k != "exp_dir"}), flush=True)
+        results.append(res)
+
+    os.makedirs(args.val_logs, exist_ok=True)
+    for res in results:
+        shutil.copy(os.path.join(res.pop("exp_dir"), "val_log.log"),
+                    os.path.join(args.val_logs, f"{res['model']}_val_log.log"))
+
+    import jax
+    artifact = {
+        "backend": jax.devices()[0].platform,
+        "data": "learnable synthetic MIND at reference scale "
+                "(65.2k news / 94k users, latent-factor click model; "
+                "news_recsys_tpu/data/synthetic.py)",
+        "criterion": "best epoch by Warm-Start AUC (reference log_analysis.py)",
+        "results": results,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(f"wrote {args.out}")
+
+    # the reference's implicit ordering: interaction models beat LR
+    lr_res = [r for r in results if r["model"] == "lr"]
+    lr_auc = lr_res[0]["best"]["Overall"]["AUC"] if lr_res else None
+    for r in results:
+        if r["model"] != "lr":
+            line = f"{r['model']}: Overall AUC {r['best']['Overall']['AUC']:.4f}"
+            if lr_auc is not None:
+                delta = r["best"]["Overall"]["AUC"] - lr_auc
+                line += f" (vs LR {'+' if delta >= 0 else ''}{delta:.4f})"
+            print(line)
+
+
+if __name__ == "__main__":
+    main()
