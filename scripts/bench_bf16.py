@@ -45,9 +45,24 @@ def measure(param_dtype, compute_dtype):
 
 
 if __name__ == "__main__":
+    import json
+    import os
+
     import jax
     print("backend:", jax.devices())
+    results = []
     for pd, cd in [("float32", "float32"), ("bfloat16", "float32"),
                    ("bfloat16", "bfloat16")]:
         exs, auc = measure(pd, cd)
+        results.append({"param_dtype": pd, "compute_dtype": cd,
+                        "examples_per_sec": round(exs, 1),
+                        "train_auc": round(float(auc), 4)})
         print(f"param={pd:9s} compute={cd:9s}  {exs:12.0f} ex/s  train_auc~{auc:.4f}")
+    if "--json" in sys.argv:
+        path = sys.argv[sys.argv.index("--json") + 1]
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"backend": jax.devices()[0].platform, "batch": BATCH,
+                       "rows": ROWS, "optimizer": "sparse_adamw",
+                       "results": results}, f, indent=2)
+        print("wrote", path)

@@ -39,10 +39,14 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
     cfg = load_config(config)
     raw = config_to_dict(cfg)
     raw["name"] = name
-    if name == "lr":
-        # LR keeps the reference's dense AdamW: its dim-1 tables make the
-        # rowwise path pointless, and AdamW's per-element adaptive step is
-        # what digs the torch-default N(0,1) bias init out of its own noise
+    if name in ("lr", "fm"):
+        # The shallow models score DIRECTLY from raw embeddings (LR: sum of
+        # dim-1 biases; FM: quadratic form), so the torch-default N(0,1)
+        # init starts them deep in sigmoid saturation (FM logit std ~15).
+        # They keep the reference's dense AdamW: its per-element normalized
+        # step deflates the init at ~lr per touch, where rowwise-AdaGrad's
+        # decaying step stalls. They also get the longer recipe
+        # (--shallow-epochs; the reference trains everything 30 epochs).
         optimizer = "adamw"
     raw["train_hparams"]["embedding_optimizer"] = optimizer
     if chunk_steps:
@@ -53,6 +57,11 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
         # wide features: dim 0 is the wide column (reference uses 16+1)
         for f in raw["wide_and_deep_cfg"]["wide_feature_names"]:
             raw["embeddings"]["embedding_size"][f] = 17
+    if name == "fm":
+        # FM needs equal dims (w = col 0, v = cols 1..d); the reference's
+        # train_cf_fm.yaml uses 16 for every field
+        raw["embeddings"]["embedding_size"] = {
+            k: 16 for k in raw["embeddings"]["embedding_size"]}
     if name == "dcn":
         raw.setdefault("dcn_cfg", {"num_layers": 3, "version": 1})
     model_cfg = os.path.join(workdir, f"{name}.yaml")
@@ -60,17 +69,23 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
         yaml.safe_dump(raw, f)
 
     exp_dir = os.path.join(workdir, f"exp_{name}")
-    if os.path.exists(exp_dir):   # stale logs would pollute parse_log
+    reuse = (os.environ.get("FULLSCALE_REUSE") == "1"
+             and os.path.exists(os.path.join(exp_dir, "val_log.log"))
+             and open(os.path.join(exp_dir, "val_log.log")).read().count(
+                 "Validation Results") >= epochs)
+    if os.path.exists(exp_dir) and not reuse:  # stale logs pollute parse_log
         shutil.rmtree(exp_dir)
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "news_recsys_tpu", "train", "-c", model_cfg,
-         "-m", name, "--workdir", exp_dir, "--epochs", str(epochs)],
-        capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
+    proc = None
+    if not reuse:
+        proc = subprocess.run(
+            [sys.executable, "-m", "news_recsys_tpu", "train", "-c", model_cfg,
+             "-m", name, "--workdir", exp_dir, "--epochs", str(epochs)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
     wall = time.time() - t0
-    if proc.returncode != 0:
+    if proc is not None and proc.returncode != 0:
         print(proc.stdout[-4000:])
         print(proc.stderr[-4000:])
         raise RuntimeError(f"{name} training failed (rc={proc.returncode})")
@@ -90,6 +105,7 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
         "model": name,
         "optimizer": optimizer,
         "epochs": epochs,
+        **({"reused_existing_run": True} if reuse else {}),
         "wall_seconds": round(wall, 1),
         "examples_per_sec_last": round(exps[-1], 1) if exps else None,
         "best_epoch": best["epoch"],
@@ -107,9 +123,10 @@ def main():
     ap.add_argument("--models", default=",".join(MODELS))
     ap.add_argument("--optimizer", default="rowwise_adagrad")
     ap.add_argument("--chunk-steps", type=int, default=0)
-    ap.add_argument("--lr-epochs", type=int, default=0,
-                    help="override epochs for the lr model (it needs the "
-                         "reference's long recipe to escape its N(0,1) init)")
+    ap.add_argument("--shallow-epochs", type=int, default=0,
+                    help="override epochs for the shallow lr/fm models (they "
+                         "need the reference's long recipe to escape the "
+                         "torch-default N(0,1) init)")
     ap.add_argument("--workdir", default="/tmp/fullscale")
     ap.add_argument("--out", default="artifacts/rankers_fullscale_r03.json")
     ap.add_argument("--val-logs", default="artifacts/fullscale_r03")
@@ -118,7 +135,7 @@ def main():
     results = []
     for name in args.models.split(","):
         print(f"=== {name} ===", flush=True)
-        epochs = (args.lr_epochs or args.epochs) if name == "lr" else args.epochs
+        epochs = (args.shallow_epochs or args.epochs) if name in ("lr", "fm") else args.epochs
         res = run_model(name, args.config, epochs, args.workdir, args.optimizer,
                         chunk_steps=args.chunk_steps)
         print(json.dumps({k: v for k, v in res.items() if k != "exp_dir"}), flush=True)
