@@ -110,6 +110,42 @@ def make_dense_tx(cfg: Config) -> optax.GradientTransformation:
     return optax.adamw(sched, b1=hp.b1, b2=hp.b2, weight_decay=hp.weight_decay)
 
 
+# Below this slot count, duplicate-id combining runs sort-free on the MXU
+# (O(N^2) equality matrix + one (N,N)@(N,D) matmul). A TPU sort of N=512
+# int32 keys costs ~40 us (bitonic: many sequential low-occupancy stages);
+# the N=512 matmul path costs ~2 us (eq build + argmax on the VPU, segment
+# sum on the MXU). The crossover is where the N^2*D matmul FLOPs stop being
+# free: at N=4096, D=32 the matmul is ~1 GFLOP (~20 us) — still well under
+# the sort; at N=15360 (a 512x30 history array feature) it is ~15 GFLOP and
+# the joint sort wins, so array features fall back to the sort path.
+MATMUL_DEDUP_MAX = 4096
+
+
+def _dedup_rows_matmul(ids_flat: jnp.ndarray, grads_flat: jnp.ndarray,
+                       spare_row: int):
+    """Sort-free duplicate combining for small slot counts (TPU fast path).
+
+    Same contract as :func:`_dedup_rows` with ``layout="xla"``: each unique
+    real id appears on exactly one active slot (its FIRST occurrence)
+    carrying the sum of all duplicates' gradients; inactive slots route to
+    ``spare_row`` with zero gradient. Instead of sort + segment_sum this
+    builds the (N, N) equality matrix — first occurrence is ``argmax`` along
+    a row (argmax returns the first True) and the duplicate-sum is one
+    (N, N) @ (N, D) matmul that rides the MXU.
+    """
+    n = ids_flat.shape[0]
+    valid = ids_flat != 0                               # padding id never updates
+    keys = jnp.where(valid, ids_flat, jnp.int32(-1))
+    eq = keys[:, None] == keys[None, :]                 # (N, N)
+    first = jnp.argmax(eq, axis=1)                      # first j with same id
+    active = (first == jnp.arange(n)) & valid
+    gsum = jnp.matmul(eq.astype(grads_flat.dtype), grads_flat,
+                      preferred_element_type=jnp.float32)
+    rows = jnp.where(active, ids_flat, spare_row)
+    grads = jnp.where(active[:, None], gsum, 0.0)
+    return rows, grads, active
+
+
 def _dedup_rows(ids_flat: jnp.ndarray, grads_flat: jnp.ndarray, spare_row: int,
                 layout: str = "xla"):
     """Combine duplicate ids; return (rows, grads, is_active) of length N.
@@ -383,10 +419,24 @@ def _joint_dedup(per_table, table_vocab, spare, layout: str = "xla"):
         pairs = per_table[tname]
         flat[tname] = (jnp.concatenate([p[0] for p in pairs]),
                        jnp.concatenate([p[1] for p in pairs]))
+    out = {}
+    if layout == "xla":
+        # small slot counts: per-table sort-free MXU dedup; anything bigger
+        # (array features: B*L slots) stays in the joint sort below
+        for tname in list(names):
+            ids, g = flat[tname]
+            if ids.shape[0] <= MATMUL_DEDUP_MAX:
+                rows, grads, _ = _dedup_rows_matmul(ids, g, spare[tname])
+                out[tname] = (rows, grads)
+                names.remove(tname)
+                del flat[tname]
+        if not names:
+            return out
     if len(names) == 1:
         t = names[0]
         rows, grads, _ = _dedup_rows(*flat[t], spare[t], layout=layout)
-        return {t: (rows, grads)}
+        out[t] = (rows, grads)
+        return out
     dmax = max(g.shape[-1] for _, g in flat.values())
     offsets, off = {}, 0
     joint_ids, joint_g = [], []
@@ -402,7 +452,6 @@ def _joint_dedup(per_table, table_vocab, spare, layout: str = "xla"):
     rows_j, grads_j, _ = _dedup_rows(
         jnp.concatenate(joint_ids), jnp.concatenate(joint_g), int(OOB_ROW),
         layout=layout)
-    out = {}
     for tname in names:
         v, d = table_vocab[tname]
         local = rows_j - offsets[tname]

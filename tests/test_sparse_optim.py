@@ -55,6 +55,63 @@ def test_dedup_rows():
     assert np.allclose(g[~active], 0.0)
 
 
+def test_dedup_rows_matmul_parity():
+    """Sort-free MXU dedup == sort dedup, up to slot permutation.
+
+    The two paths place active slots at different positions (first
+    occurrence vs sorted order) but must agree on the {row: summed grad}
+    mapping and on the inactive-slot contract (spare row, zero grad).
+    """
+    from news_recsys_tpu.training.sparse_step import _dedup_rows_matmul
+
+    rng = np.random.default_rng(7)
+    for n, d in ((6, 1), (64, 4), (512, 32)):
+        ids = jnp.asarray(rng.integers(0, max(2, n // 3), n), jnp.int32)
+        grads = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        spare = 10_000
+
+        def as_map(rows, g, active):
+            rows, g, active = np.asarray(rows), np.asarray(g), np.asarray(active)
+            assert set(rows[~active]) <= {spare}
+            assert np.allclose(g[~active], 0.0)
+            return {int(r): v for r, v, a in zip(rows, g, active) if a}
+
+        ref = as_map(*_dedup_rows(ids, grads, spare))
+        got = as_map(*_dedup_rows_matmul(ids, grads, spare))
+        assert set(ref) == set(got)
+        for r in ref:
+            np.testing.assert_allclose(got[r], ref[r], rtol=1e-6, atol=1e-6)
+
+
+def test_joint_dedup_mixed_paths():
+    """_joint_dedup routes small tables to the matmul path and big (array)
+    slot counts to the joint sort; resulting scattered tables must match a
+    per-table sort-dedup reference."""
+    from news_recsys_tpu.training.sparse_step import (
+        MATMUL_DEDUP_MAX, _joint_dedup)
+
+    rng = np.random.default_rng(3)
+    n_small, n_big, d = 64, MATMUL_DEDUP_MAX + 8, 8
+    per_table = {
+        "small_t": [(jnp.asarray(rng.integers(0, 40, n_small), jnp.int32),
+                     jnp.asarray(rng.standard_normal((n_small, d)), jnp.float32))],
+        "big_t": [(jnp.asarray(rng.integers(0, 50, n_big), jnp.int32),
+                   jnp.asarray(rng.standard_normal((n_big, d)), jnp.float32))],
+    }
+    table_vocab = {"small_t": (60, d), "big_t": (60, d)}
+    spare = {"small_t": 63, "big_t": 63}
+    out = _joint_dedup(per_table, table_vocab, spare)
+    assert set(out) == {"small_t", "big_t"}
+    for tname, pairs in per_table.items():
+        ids, g = pairs[0]
+        ref_rows, ref_g, _ = _dedup_rows(ids, g, spare[tname])
+        ref_tbl = jnp.zeros((64, d)).at[ref_rows].set(ref_g)
+        rows, grads = out[tname]
+        got_tbl = jnp.zeros((64, d)).at[rows].set(grads)
+        np.testing.assert_allclose(np.asarray(got_tbl)[:60],
+                                   np.asarray(ref_tbl)[:60], rtol=1e-5, atol=1e-5)
+
+
 def test_rowwise_adam_matches_dense_adam_on_touched_rows():
     """For rows touched at every step, rowwise Adam == dense Adam."""
     rng = np.random.default_rng(0)
