@@ -151,3 +151,42 @@ def test_format_block():
     assert "Epoch 3 Validation Results" in block
     assert "Warm Start Users" in block and "Cold Start Users" in block
     assert "NDCG@10" in block
+
+
+def test_binned_auc_hist_onehot_exact():
+    """The one-hot-matmul histogram must equal a numpy bincount exactly
+    (weights are 0/1 so the f32 matmul sum is exact), and the streaming
+    AUC estimate must track sklearn within bin resolution."""
+    import jax.numpy as jnp
+
+    from news_recsys_tpu.training.trainer import (
+        AUC_BINS, AucHist, binned_auc_update, binned_auc_value)
+
+    rng = np.random.default_rng(11)
+    hist = AucHist.zeros()
+    all_p, all_l = [], []
+    for _ in range(4):
+        probs = rng.random(512).astype(np.float32)
+        labels = (rng.random(512) < 0.3).astype(np.float32)
+        weights = (rng.random(512) < 0.9).astype(np.float32)
+        hist = binned_auc_update(hist, jnp.asarray(probs), jnp.asarray(labels),
+                                 jnp.asarray(weights))
+        all_p.append(probs); all_l.append((labels, weights))
+        bins = np.clip((probs * AUC_BINS).astype(np.int64), 0, AUC_BINS - 1)
+        ref_pos = np.bincount(bins, weights * labels, minlength=AUC_BINS)
+        ref_neg = np.bincount(bins, weights * (1 - labels), minlength=AUC_BINS)
+    # final-state check vs accumulated bincounts
+    accum_pos = np.zeros(AUC_BINS); accum_neg = np.zeros(AUC_BINS)
+    for probs, (labels, weights) in zip(all_p, all_l):
+        bins = np.clip((probs * AUC_BINS).astype(np.int64), 0, AUC_BINS - 1)
+        accum_pos += np.bincount(bins, weights * labels, minlength=AUC_BINS)
+        accum_neg += np.bincount(bins, weights * (1 - labels), minlength=AUC_BINS)
+    np.testing.assert_array_equal(np.asarray(hist.pos), accum_pos)
+    np.testing.assert_array_equal(np.asarray(hist.neg), accum_neg)
+
+    from sklearn.metrics import roc_auc_score
+    p = np.concatenate(all_p)
+    l = np.concatenate([x for x, _ in all_l])
+    w = np.concatenate([x for _, x in all_l])
+    ref = roc_auc_score(l[w > 0], p[w > 0])
+    assert abs(float(binned_auc_value(hist)) - ref) < 2e-3
