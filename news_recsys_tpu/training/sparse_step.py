@@ -147,8 +147,16 @@ def _dedup_rows_matmul(ids_flat: jnp.ndarray, grads_flat: jnp.ndarray,
 
 
 def _dedup_rows(ids_flat: jnp.ndarray, grads_flat: jnp.ndarray, spare_row: int,
-                layout: str = "xla"):
+                layout: str = "xla", max_id: int | None = None):
     """Combine duplicate ids; return (rows, grads, is_active) of length N.
+
+    When the caller supplies ``max_id`` (a static bound on the largest real
+    id) and ``(max_id + 2) << ceil_log2(N)`` fits in 32 bits, the sort runs
+    PACKED: one uint32 array holding ``key << idx_bits | position`` replaces
+    the (keys, iota) two-operand argsort — a single-operand TPU bitonic sort
+    moves half the bytes per compare-exchange stage (~1.8x faster at
+    N=15872, the attention ranker's history slot count). The low bits make
+    the sort exactly stable, matching ``jnp.argsort``'s tie order.
 
     ``layout="xla"``: active slots carry a unique real id with its summed
     gradient; inactive slots point at ``spare_row`` with zero gradient
@@ -165,9 +173,22 @@ def _dedup_rows(ids_flat: jnp.ndarray, grads_flat: jnp.ndarray, spare_row: int,
     """
     n = ids_flat.shape[0]
     valid = ids_flat != 0                               # padding id never updates
-    sort_key = jnp.where(valid, ids_flat, jnp.int32(2**30))
-    order = jnp.argsort(sort_key)
-    sids = sort_key[order]
+    idx_bits = max(1, (n - 1).bit_length())
+    packable = (max_id is not None
+                and (max_id + 2) < (1 << (32 - idx_bits)))
+    if packable:
+        sentinel = jnp.int32(max_id + 1)                # sorts after every real id
+        key = jnp.where(valid, ids_flat, sentinel)
+        packed = (key.astype(jnp.uint32) << idx_bits) | jnp.arange(n, dtype=jnp.uint32)
+        packed = jax.lax.sort(packed)
+        order = (packed & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+        # re-encode the downstream invalid marker (2**30) the unpacked path uses
+        ukey = (packed >> idx_bits).astype(jnp.int32)
+        sids = jnp.where(ukey == sentinel, jnp.int32(2**30), ukey)
+    else:
+        sort_key = jnp.where(valid, ids_flat, jnp.int32(2**30))
+        order = jnp.argsort(sort_key)
+        sids = sort_key[order]
     sg = grads_flat[order]
     first = jnp.concatenate([jnp.ones(1, bool), sids[1:] != sids[:-1]])
     seg = jnp.cumsum(first) - 1
@@ -434,7 +455,8 @@ def _joint_dedup(per_table, table_vocab, spare, layout: str = "xla"):
             return out
     if len(names) == 1:
         t = names[0]
-        rows, grads, _ = _dedup_rows(*flat[t], spare[t], layout=layout)
+        rows, grads, _ = _dedup_rows(*flat[t], spare[t], layout=layout,
+                                     max_id=int(table_vocab[t][0]))
         out[t] = (rows, grads)
         return out
     dmax = max(g.shape[-1] for _, g in flat.values())
@@ -451,7 +473,7 @@ def _joint_dedup(per_table, table_vocab, spare, layout: str = "xla"):
     assert off < 2**29, "joint id space must stay below the sort sentinel"
     rows_j, grads_j, _ = _dedup_rows(
         jnp.concatenate(joint_ids), jnp.concatenate(joint_g), int(OOB_ROW),
-        layout=layout)
+        layout=layout, max_id=off)
     for tname in names:
         v, d = table_vocab[tname]
         local = rows_j - offsets[tname]
