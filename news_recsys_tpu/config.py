@@ -80,6 +80,20 @@ class TrainHParams:
     # "sparse_adamw": rowwise updates on touched rows only (torch SparseAdam
     # semantics) — the recsys fast path; ~O(B) instead of O(V) table traffic.
     embedding_optimizer: str = "adamw"
+    # K-step lazy embedding write-back: with K > 1 the rowwise optimizers
+    # buffer K steps of (ids, grads) in the scan carry and apply ONE
+    # combined dedup+update every K-th step (nested scan, straight-line
+    # apply — no lax.cond, which would copy the table operands every step).
+    # Semantics: embeddings see gradient accumulation over K steps (one
+    # optimizer step of the summed gradient, lr at the apply step; rows
+    # read up to K-1 steps stale); K=1 (default) is the exact per-step
+    # path. Measured on v5e (artifacts/step_breakdown_r03.json): THROUGHPUT
+    # NEUTRAL at MIND scale — XLA's (V, D) scatter serializes per update
+    # row (~50 ns/row), so its cost is slot-proportional and K-batching
+    # does not amortize it. Use K > 1 for its gradient-accumulation
+    # semantics (embedding-side effective batch scaling), not for speed.
+    # Requires a rowwise embedding_optimizer; ranking path only.
+    embedding_update_period: int = 1
     device: str = "tpu"           # reference compat ("gpu" accepted, ignored)
     gpus: Tuple[int, ...] = ()    # reference compat, ignored
     log_every_n_steps: int = 50
@@ -226,6 +240,14 @@ def _validate(cfg: Config) -> None:
         raise ValueError(
             f"train_hparams.embedding_optimizer must be one of "
             f"adamw|sparse_adamw|rowwise_adagrad, got {opt!r}.")
+    period = cfg.train_hparams.embedding_update_period
+    if period < 1:
+        raise ValueError(
+            f"train_hparams.embedding_update_period must be >= 1, got {period}.")
+    if period > 1 and opt == "adamw":
+        raise ValueError(
+            "embedding_update_period > 1 (lazy embedding write-back) requires "
+            "a rowwise embedding_optimizer (sparse_adamw or rowwise_adagrad).")
     if cfg.mesh.param_dtype == "bfloat16" and opt == "adamw":
         # Dense AdamW would keep bf16 moments and apply bf16 arithmetic to the
         # whole table; only the rowwise paths carry fp32 master state and

@@ -93,6 +93,11 @@ def make_dssm_sparse_chunk_fn(model: DSSM, layout_key, batch_size: int, cfg: Con
     per-table rowwise optimizer as the ranking path. With a model-parallel
     mesh the table scatters run shard-local
     (:func:`~news_recsys_tpu.training.sparse_step.make_sharded_rowwise_update`)."""
+    if cfg.train_hparams.embedding_update_period > 1:
+        raise NotImplementedError(
+            "embedding_update_period > 1 (lazy write-back) is implemented for "
+            "the ranking path only; DSSM retrieval training applies exact "
+            "per-step updates.")
     from ..data.packed_dataset import unpack_batch
     from ..models.dssm import dssm_loss_from_embeddings
     from .sparse_step import (SparseTrainState, _large_tables, collect_per_table,

@@ -612,11 +612,46 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
     table_update = make_table_updater(cfg, model.tables, mesh)
     unpooled = set(getattr(model, "unpooled_arrays", ()) or ())
 
+    # K-step lazy write-back (embedding_update_period > 1): static flat slot
+    # count per large table (schema order — must match collect_per_table's
+    # concat order) and the per-table embedding dim, for the pending buffers
+    # carried through the scan.
+    K = int(hp.embedding_update_period)
+    slot_sizes: Dict[str, int] = {}
+    table_dim = {t: d for t, (v, d) in dict(model.tables).items()}
+    for spec in schema.specs:
+        if spec.kind in (SPARSE, ARRAY) and spec.table in large:
+            per_row = 1 if spec.kind == SPARSE else int(
+                cfg.features.array_max_length[spec.name])
+            slot_sizes[spec.table] = (slot_sizes.get(spec.table, 0)
+                                      + batch_size * per_row)
+
+    def _flatten_per_table(per_table):
+        return {t: (jnp.concatenate([p[0] for p in pairs]),
+                    jnp.concatenate([p[1] for p in pairs]))
+                for t, pairs in per_table.items()}
+
+    def _pending_update(tables, emb_mu, emb_nu, pend, step, lr_t):
+        """Apply ONE combined update from the pending (K, S) buffers; slots
+        with valid=False route their ids to 0 (padding) and are dropped by
+        the dedup."""
+        pids, pg, valid = pend
+        per_t = {t: [(jnp.where(valid[:, None], pids[t], 0).reshape(-1),
+                      pg[t].reshape(-1, table_dim[t]))]
+                 for t in pids}
+        return table_update(tables, emb_mu, emb_nu, per_t, step, lr_t)
+
+    def _pending_zeros():
+        return ({t: jnp.zeros((K, s), jnp.int32) for t, s in slot_sizes.items()},
+                {t: jnp.zeros((K, s, table_dim[t]), jnp.float32)
+                 for t, s in slot_sizes.items()},
+                jnp.zeros((K,), bool))
+
     def run(state: SparseTrainState, hist: AucHist, int_mat, float_mat, idx_chunk):
         ones = jnp.ones(batch_size, jnp.float32)
 
         def body(carry, idx):
-            state, hist = carry
+            state, hist, carry_pend = carry
             im = jnp.take(int_mat, idx, axis=0)
             fm = jnp.take(float_mat, idx, axis=0)
             batch = unpack_batch(im, fm, ones, layout_key)
@@ -655,18 +690,73 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
             # ---- large embedding tables: rowwise update on touched rows
             lr_t = sched(state.step)
             per_table = collect_per_table(schema, batch, row_g, large)
-            new_tables, new_mu, new_nu = table_update(
-                tables, state.emb_mu, state.emb_nu, per_table, state.step, lr_t)
-            new_tables.update(small)
+            if K == 1:
+                new_tables, new_mu, new_nu = table_update(
+                    tables, state.emb_mu, state.emb_nu, per_table, state.step, lr_t)
+                pend = carry_pend
+                new_tables.update(small)
+            else:
+                # buffer this step's (ids, grads); the apply happens in the
+                # OUTER scan body (straight-line, once per K steps) — a
+                # lax.cond here would copy the table operands every step and
+                # cost more than the scatter pass it skips (measured)
+                pids, pg, valid = carry_pend
+                flat = _flatten_per_table(per_table)
+                slot = jnp.mod(state.step, K)
+                pids = {t: pids[t].at[slot].set(ids) for t, (ids, _) in flat.items()}
+                pg = {t: pg[t].at[slot].set(g) for t, (_, g) in flat.items()}
+                pend = (pids, pg, valid.at[slot].set(True))
+                new_tables = {**tables, **small}
 
             params = {"params": {**dense, "embedder": new_tables}}
             state = SparseTrainState(params=params, dense_opt=dense_opt,
-                                     emb_mu=new_mu, emb_nu=new_nu, step=state.step + 1)
+                                     emb_mu=new_mu if K == 1 else state.emb_mu,
+                                     emb_nu=new_nu if K == 1 else state.emb_nu,
+                                     step=state.step + 1)
             probs = jax.nn.sigmoid(logits)
             hist = binned_auc_update(hist, probs, labels, weights)
-            return (state, hist), loss
+            return (state, hist, pend), loss
 
-        (state, hist), losses = jax.lax.scan(body, (state, hist), idx_chunk)
-        return state, hist, losses[-1]
+        def apply_pending(carry):
+            """Straight-line combined update + pending reset (valid only —
+            the id/grad buffers are fully overwritten before the next
+            apply)."""
+            state, hist, pend = carry
+            inner = state.params["params"]
+            tables = inner["embedder"]
+            new_tables, new_mu, new_nu = _pending_update(
+                tables, state.emb_mu, state.emb_nu, pend,
+                state.step, sched(state.step))
+            new_tables.update({k: v for k, v in tables.items() if k not in large})
+            params = {"params": {**{k: v for k, v in inner.items() if k != "embedder"},
+                                 "embedder": new_tables}}
+            state = state.replace(params=params, emb_mu=new_mu, emb_nu=new_nu)
+            pids, pg, valid = pend
+            return state, hist, (pids, pg, jnp.zeros_like(valid))
+
+        if K == 1:
+            (state, hist, _), losses = jax.lax.scan(
+                body, (state, hist, ()), idx_chunk)
+            return state, hist, losses[-1]
+
+        n_steps = idx_chunk.shape[0]
+        groups, tail = divmod(n_steps, K)
+        carry = (state, hist, _pending_zeros())
+        last_loss = jnp.float32(0)
+        if groups:
+            def outer_body(carry, idx_group):       # idx_group: (K, B)
+                carry, losses = jax.lax.scan(body, carry, idx_group)
+                return apply_pending(carry), losses[-1]
+
+            carry, group_losses = jax.lax.scan(
+                outer_body, carry,
+                idx_chunk[: groups * K].reshape(groups, K, -1))
+            last_loss = group_losses[-1]
+        for i in range(tail):                        # static remainder (< K)
+            carry, last_loss = body(carry, idx_chunk[groups * K + i])
+        # chunk-end flush: the returned state is exact at chunk boundaries
+        # (checkpoints, validation); a no-pending flush is the identity
+        state, hist, _ = apply_pending(carry)
+        return state, hist, last_loss
 
     return jax.jit(run, donate_argnums=(0, 1))

@@ -21,7 +21,8 @@ MIND_TABLE_SIZE = {"user_id": 94058, "item_id": 65239, "category": 18,
 def mind_config(name: str = "dcn", batch_size: int = 512, equal_dims: bool = False,
                 mesh_data: int = -1, mesh_model: int = 1,
                 param_dtype: str = "float32", compute_dtype: str = "float32",
-                embedding_optimizer: str = "adamw") -> Config:
+                embedding_optimizer: str = "adamw",
+                embedding_update_period: int = 1) -> Config:
     emb = {k: 16 for k in MIND_FEATURES} if equal_dims else dict(MIND_EMB_SIZE)
     return config_from_dict({
         "name": name,
@@ -39,7 +40,8 @@ def mind_config(name: str = "dcn", batch_size: int = 512, equal_dims: bool = Fal
         # train_cf_deep.yaml:47-61
         "train_hparams": {"val_freq": 1, "max_epoch": 30, "lr": 1e-3, "min_lr": 5e-6,
                           "lr_milestones": [40000, 200000], "max_step": 300000,
-                          "embedding_optimizer": embedding_optimizer},
+                          "embedding_optimizer": embedding_optimizer,
+                          "embedding_update_period": embedding_update_period},
         "mesh": {"data": mesh_data, "model": mesh_model,
                  "param_dtype": param_dtype, "compute_dtype": compute_dtype},
         "wide_and_deep_cfg": {"wide_feature_names": ["category", "subcategory"]},

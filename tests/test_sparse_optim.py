@@ -304,3 +304,60 @@ def test_dedup_rows_packed_sort_parity():
                               max_id=max_id)
             for r, g in zip(ref, got):
                 np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def make_cfg_k(k, optimizer="rowwise_adagrad", lr=5e-3):
+    return config_from_dict({
+        "name": "deep",
+        "features": {"sparse_feature_names": FEATS,
+                     "item_feature_names": ["item_id", "category"],
+                     "user_feature_names": ["user_id"]},
+        "embeddings": {"embedding_size": {f: 16 for f in FEATS},
+                       "embedding_table_size": {"user_id": 200, "item_id": 300, "category": 20}},
+        "dataset": {"batch_size": 64},
+        "train_hparams": {"max_epoch": 3, "lr": lr, "min_lr": 1e-3,
+                          "lr_milestones": [200, 600], "max_step": 100000,
+                          "embedding_optimizer": optimizer,
+                          "embedding_update_period": k},
+    })
+
+
+def test_lazy_writeback_single_step_exact(tmp_path):
+    """With exactly ONE train step, the chunk-end flush applies exactly that
+    step's update — K=4 must equal K=1 bit-for-bit."""
+    ds = make_ds(n=64)  # one batch
+    finals = {}
+    for k in (1, 4):
+        cfg = make_cfg_k(k)
+        model = build_ranker(cfg, "deep")
+        tr = Trainer(cfg, model, workdir=str(tmp_path / f"k{k}"), use_mesh=False)
+        state = tr.fit(ds, max_epochs=1)
+        finals[k] = jax.tree.leaves(state.params)
+    for a, b in zip(finals[1], finals[4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("optimizer", ["rowwise_adagrad", "sparse_adamw"])
+def test_lazy_writeback_learns_comparably(tmp_path, optimizer):
+    """K=4 lazy write-back (gradient accumulation for embeddings, rows up to
+    K-1 steps stale) must converge comparably to exact per-step K=1."""
+    ds = make_ds()
+    from news_recsys_tpu.training.metrics import pooled_auc
+    results = {}
+    for k in (1, 4):
+        cfg = make_cfg_k(k, optimizer=optimizer)
+        model = build_ranker(cfg, "deep")
+        tr = Trainer(cfg, model, workdir=str(tmp_path / f"{optimizer}{k}"),
+                     use_mesh=False)
+        state = tr.fit(ds, max_epochs=12)
+        scores = tr.predict(state.params, ds)
+        results[k] = pooled_auc(ds.arrays["label"][:, 0], scores)
+    assert results[4] > 0.75, results
+    assert abs(results[4] - results[1]) < 0.1, results
+
+
+def test_lazy_writeback_config_validation():
+    with pytest.raises(ValueError):
+        make_cfg_k(0)
+    with pytest.raises(ValueError):
+        make_cfg_k(2, optimizer="adamw")
