@@ -361,3 +361,28 @@ def test_lazy_writeback_config_validation():
         make_cfg_k(0)
     with pytest.raises(ValueError):
         make_cfg_k(2, optimizer="adamw")
+
+
+def test_lazy_writeback_dssm_rejected(tmp_path):
+    """DSSM retrieval training is exact per-step only."""
+    from news_recsys_tpu.models.dssm import build_dssm
+    from news_recsys_tpu.training.retrieval import DSSMTrainer
+
+    cfg = config_from_dict({
+        "name": "dssm",
+        "features": {"sparse_feature_names": ["user_id", "item_id"],
+                     "item_feature_names": ["item_id"],
+                     "user_feature_names": ["user_id"]},
+        "embeddings": {"embedding_size": {"user_id": 16, "item_id": 16},
+                       "embedding_table_size": {"user_id": 200, "item_id": 300}},
+        "dataset": {"batch_size": 32},
+        "train_hparams": {"max_epoch": 1, "lr": 1e-3, "min_lr": 1e-4,
+                          "lr_milestones": [100, 300], "max_step": 100,
+                          "embedding_optimizer": "rowwise_adagrad",
+                          "embedding_update_period": 2},
+    })
+    model = build_dssm(cfg)
+    tr = DSSMTrainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    ds = make_ds(n=64)
+    with pytest.raises(NotImplementedError, match="ranking path only"):
+        tr.fit(ds, max_epochs=1)
