@@ -47,7 +47,7 @@ TIMED_EPOCHS = 3  # report the best epoch: the tunneled chip is shared, and
                   # run-to-run drift (observed ±30%) only ever biases DOWN
 
 
-def _timed_epoch(trainer, ds):
+def _timed_epoch(trainer, ds, batch: int = BATCH):
     """Epoch 0 compiles + warms up; best of TIMED_EPOCHS is the measurement."""
     state = trainer.fit(ds, max_epochs=1)
     best = 0.0
@@ -55,12 +55,12 @@ def _timed_epoch(trainer, ds):
         t0 = time.perf_counter()
         state, metrics = trainer.train_epoch(state, ds, epoch=epoch)
         dt = time.perf_counter() - t0
-        best = max(best, metrics["steps"] * BATCH / dt)
+        best = max(best, metrics["steps"] * batch / dt)
     return state, best
 
 
 def measure(rows: int, with_cost: bool = False, param_dtype: str = "float32",
-            compute_dtype: str = "float32"):
+            compute_dtype: str = "float32", batch: int = BATCH):
     import numpy as np
 
     from news_recsys_tpu.data.packed_dataset import PackedDataset
@@ -76,22 +76,22 @@ def measure(rows: int, with_cost: bool = False, param_dtype: str = "float32",
     # TPU-embedding optimizer: (V,) scalar accumulator per table, so each
     # step pays one table scatter instead of three; convergence-parity
     # tested vs sparse AdamW and exact dense AdamW)
-    cfg = mind_config("dcn", batch_size=BATCH,
+    cfg = mind_config("dcn", batch_size=batch,
                       embedding_optimizer="rowwise_adagrad",
                       param_dtype=param_dtype, compute_dtype=compute_dtype)
     model = build_ranker(cfg, "dcn")
     cost = None
     with tempfile.TemporaryDirectory() as tmp:
         trainer = Trainer(cfg, model, workdir=tmp, use_mesh=False)
-        state, exs = _timed_epoch(trainer, ds)
+        state, exs = _timed_epoch(trainer, ds, batch)
         if with_cost:
             # XLA's own cost analysis of the production chunk fn, amortised
             # over a COST_STEPS-long scan (lowering never executes, so the
             # donated state is not consumed)
             from news_recsys_tpu.utils.roofline import compiled_cost
             packer = trainer._packer(ds)
-            run = trainer._chunked_step(packer.layout_key(), BATCH)
-            idx = np.zeros((COST_STEPS, BATCH), np.int32)
+            run = trainer._chunked_step(packer.layout_key(), batch)
+            idx = np.zeros((COST_STEPS, batch), np.int32)
             total = compiled_cost(run, state, AucHist.zeros(),
                                   packer.int_mat, packer.float_mat, idx)
             if total is not None:
@@ -226,6 +226,11 @@ def main():
         ("dcn_bf16_e2e_train_examples_per_sec_per_chip",
          lambda: measure(SEC_ROWS, param_dtype="bfloat16",
                          compute_dtype="bfloat16")[0]),
+        # large-batch ceiling: batch 8192 amortizes the per-step op latency
+        # and the slot-proportional table scatters (batch 512 is the
+        # reference recipe and stays the primary line)
+        ("dcn_b8192_e2e_train_examples_per_sec_per_chip",
+         lambda: measure(SEC_ROWS * 4, batch=8192)[0]),
     ]:
         try:
             v = fn()
