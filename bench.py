@@ -1,6 +1,6 @@
 """Benchmark: END-TO-END training throughput (examples/sec/chip).
 
-Primary line (first): DCN ranker on the production rowwise-adagrad sparse
+Primary line (printed LAST — the driver parses the final line): DCN ranker on the production rowwise-adagrad sparse
 path — full Trainer epoch including the input pipeline (device-resident
 chunked lax.scan), with a CPU-subprocess baseline for ``vs_baseline``
 (BASELINE.json north star: >=3x examples/s/chip over CPU) and roofline
@@ -8,10 +8,12 @@ accounting (XLA-compiled FLOPs + HBM bytes per step vs the chip peaks,
 ``news_recsys_tpu.utils.roofline``) so the perf claim is absolute, not
 CPU-relative.
 
-Secondary lines (after the first): DSSM two-tower retrieval training,
-attention sequence ranker, and bf16-table DCN — each e2e on the same
-runtime; their ``vs_baseline`` is the ratio to the primary DCN fp32 TPU
-number (stated via the ``baseline`` field).
+Secondary lines (printed before it): DSSM two-tower retrieval training,
+attention sequence ranker, bf16-table DCN, and the b8192 large-batch
+ceiling — each e2e on the same runtime; their ``vs_flagship`` is the ratio
+to the primary DCN fp32 TPU number (named via the ``flagship`` field).
+Every line carries both the best and the median of TIMED_EPOCHS measured
+epochs with the methodology stated inline.
 
 Every line is one JSON object:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -43,20 +45,24 @@ def _ranking_arrays(rows: int):
     return arrays
 
 
-TIMED_EPOCHS = 3  # report the best epoch: the tunneled chip is shared, and
-                  # run-to-run drift (observed ±30%) only ever biases DOWN
+TIMED_EPOCHS = 3  # the tunneled chip is shared and run-to-run drift
+                  # (observed ±30%) only ever biases DOWN; both the best and
+                  # the median of TIMED_EPOCHS are recorded, headline = best
+                  # (methodology stated inline per ADVICE r03)
 
 
 def _timed_epoch(trainer, ds, batch: int = BATCH):
-    """Epoch 0 compiles + warms up; best of TIMED_EPOCHS is the measurement."""
+    """Epoch 0 compiles + warms up; returns (state, best, median) ex/s over
+    TIMED_EPOCHS measured epochs."""
     state = trainer.fit(ds, max_epochs=1)
-    best = 0.0
+    rates = []
     for epoch in range(1, 1 + TIMED_EPOCHS):
         t0 = time.perf_counter()
         state, metrics = trainer.train_epoch(state, ds, epoch=epoch)
         dt = time.perf_counter() - t0
-        best = max(best, metrics["steps"] * batch / dt)
-    return state, best
+        rates.append(metrics["steps"] * batch / dt)
+    rates.sort()
+    return state, rates[-1], rates[len(rates) // 2]
 
 
 def measure(rows: int, with_cost: bool = False, param_dtype: str = "float32",
@@ -83,7 +89,7 @@ def measure(rows: int, with_cost: bool = False, param_dtype: str = "float32",
     cost = None
     with tempfile.TemporaryDirectory() as tmp:
         trainer = Trainer(cfg, model, workdir=tmp, use_mesh=False)
-        state, exs = _timed_epoch(trainer, ds, batch)
+        state, exs, exs_median = _timed_epoch(trainer, ds, batch)
         if with_cost:
             # XLA's own cost analysis of the production chunk fn, amortised
             # over a COST_STEPS-long scan (lowering never executes, so the
@@ -96,7 +102,7 @@ def measure(rows: int, with_cost: bool = False, param_dtype: str = "float32",
                                   packer.int_mat, packer.float_mat, idx)
             if total is not None:
                 cost = {k: v / COST_STEPS for k, v in total.items()}
-    return exs, cost
+    return exs, cost, exs_median
 
 
 def measure_dssm(rows: int) -> float:
@@ -113,61 +119,25 @@ def measure_dssm(rows: int) -> float:
     model = build_dssm(cfg)
     with tempfile.TemporaryDirectory() as tmp:
         trainer = DSSMTrainer(cfg, model, workdir=tmp, use_mesh=False)
-        _, exs = _timed_epoch(trainer, ds)
-    return exs
+        _, exs, med = _timed_epoch(trainer, ds)
+    return exs, med
 
 
-def measure_attention(rows: int) -> float:
-    import numpy as np
-
-    from news_recsys_tpu.config import config_from_dict
+def measure_attention(rows: int):
     from news_recsys_tpu.data.packed_dataset import PackedDataset
     from news_recsys_tpu.models.rankers import build_ranker
     from news_recsys_tpu.training.trainer import Trainer
-    from news_recsys_tpu.zoo import MIND_TABLE_SIZE
+    from news_recsys_tpu.zoo import attention_arrays, attention_config
 
     import tempfile
 
-    HIST_LEN = 30  # configs/attention.yaml array_max_length
-    cfg = config_from_dict({
-        "name": "attention",
-        "features": {
-            "feature_names": ["user_id", "item_id", "category", "hist"],
-            "sparse_feature_names": ["user_id", "item_id", "category"],
-            "array_feature_names": ["hist"],
-            "item_feature_names": ["item_id", "category"],
-            "user_feature_names": ["user_id", "hist"],
-            "array_max_length": {"hist": HIST_LEN},
-        },
-        "embeddings": {
-            "embedding_size": {"user_id": 32, "item_id": 32, "category": 16},
-            "embedding_table_size": {k: MIND_TABLE_SIZE[k]
-                                     for k in ("user_id", "item_id", "category")},
-            "share_emb_table_features": {"hist": "item_id"},
-        },
-        "dataset": {"batch_size": BATCH},
-        "train_hparams": {"lr": 1e-3, "min_lr": 5e-6,
-                          "lr_milestones": [40000, 200000], "max_step": 300000,
-                          "embedding_optimizer": "rowwise_adagrad"},
-        "attention_cfg": {"hist_feature": "hist", "num_layers": 1,
-                          "num_heads": 2, "ff_dim": 64},
-    })
+    cfg = attention_config(batch_size=BATCH)
     model = build_ranker(cfg, "attention")
-    rng = np.random.default_rng(0)
-    hist = rng.integers(0, MIND_TABLE_SIZE["item_id"],
-                        (rows, HIST_LEN)).astype(np.int32)
-    ds = PackedDataset({
-        "user_id": rng.integers(1, MIND_TABLE_SIZE["user_id"], rows).astype(np.int32),
-        "item_id": rng.integers(1, MIND_TABLE_SIZE["item_id"], rows).astype(np.int32),
-        "category": rng.integers(1, MIND_TABLE_SIZE["category"], rows).astype(np.int32),
-        "hist": hist,
-        "hist_mask": (hist != 0).astype(np.float32),
-        "label": (rng.random(rows) < 0.1).astype(np.float32).reshape(-1, 1),
-    })
+    ds = PackedDataset(attention_arrays(rows))
     with tempfile.TemporaryDirectory() as tmp:
         trainer = Trainer(cfg, model, workdir=tmp, use_mesh=False)
-        _, exs = _timed_epoch(trainer, ds)
-    return exs
+        _, exs, med = _timed_epoch(trainer, ds)
+    return exs, med
 
 
 def cpu_baseline() -> float:
@@ -193,14 +163,17 @@ def cpu_baseline() -> float:
 def main():
     quick = "--quick" in sys.argv  # primary line only (driver default is full)
 
-    value, cost = measure(ROWS, with_cost=True)
+    value, cost, value_median = measure(ROWS, with_cost=True)
     baseline = cpu_baseline()
     vs = value / baseline if baseline > 0 else 0.0
     primary = {
         "metric": "dcn_e2e_train_examples_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "examples/s",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": round(vs, 2),           # ratio to the CPU anchor
+        "vs_cpu": round(vs, 2),
+        "value_median": round(value_median, 1),
+        "methodology": f"best_of_{TIMED_EPOCHS}_epochs",
     }
     if cost is not None:
         from news_recsys_tpu.utils.roofline import step_utilisation
@@ -214,34 +187,40 @@ def main():
         for k in ("device", "mfu_pct", "hbm_bw_util_pct"):
             if k in util:
                 primary[k] = util[k]
-    print(json.dumps(primary))
-    if quick:
-        return
 
-    for metric, fn in [
-        ("dssm_e2e_train_examples_per_sec_per_chip",
-         lambda: measure_dssm(SEC_ROWS)),
-        ("attention_e2e_train_examples_per_sec_per_chip",
-         lambda: measure_attention(SEC_ROWS)),
-        ("dcn_bf16_e2e_train_examples_per_sec_per_chip",
-         lambda: measure(SEC_ROWS, param_dtype="bfloat16",
-                         compute_dtype="bfloat16")[0]),
-        # large-batch ceiling: batch 8192 amortizes the per-step op latency
-        # and the slot-proportional table scatters (batch 512 is the
-        # reference recipe and stays the primary line)
-        ("dcn_b8192_e2e_train_examples_per_sec_per_chip",
-         lambda: measure(SEC_ROWS * 4, batch=8192)[0]),
-    ]:
-        try:
-            v = fn()
-            print(json.dumps({
-                "metric": metric, "value": round(v, 1), "unit": "examples/s",
-                "vs_baseline": round(v / value, 2),
-                "baseline": "dcn_fp32_tpu_examples_per_sec",
-            }))
-        except Exception as e:  # a secondary line must never sink the primary
-            print(json.dumps({"metric": metric, "error": repr(e)[:200]}),
-                  file=sys.stderr)
+    if not quick:
+        # secondary lines FIRST: the driver records the LAST printed line as
+        # the parsed headline, which must be the flagship DCN number above
+        for metric, fn in [
+            ("dssm_e2e_train_examples_per_sec_per_chip",
+             lambda: measure_dssm(SEC_ROWS)),
+            ("attention_e2e_train_examples_per_sec_per_chip",
+             lambda: measure_attention(SEC_ROWS)),
+            ("dcn_bf16_e2e_train_examples_per_sec_per_chip",
+             lambda: measure(SEC_ROWS, param_dtype="bfloat16",
+                             compute_dtype="bfloat16")[:3:2]),
+            # large-batch ceiling: batch 8192 amortizes the per-step op
+            # latency and the slot-proportional table scatters (batch 512 is
+            # the reference recipe and stays the primary line); quality at
+            # b8192 evidenced in artifacts/fullscale_r04 (lr-scaled recipe)
+            ("dcn_b8192_e2e_train_examples_per_sec_per_chip",
+             lambda: measure(SEC_ROWS * 4, batch=8192)[:3:2]),
+        ]:
+            try:
+                v, med = fn()
+                print(json.dumps({
+                    "metric": metric, "value": round(v, 1),
+                    "unit": "examples/s",
+                    "value_median": round(med, 1),
+                    "methodology": f"best_of_{TIMED_EPOCHS}_epochs",
+                    "vs_flagship": round(v / value, 2),
+                    "flagship": "dcn_fp32_tpu_examples_per_sec",
+                }))
+            except Exception as e:  # a secondary line must never sink the primary
+                print(json.dumps({"metric": metric, "error": repr(e)[:200]}),
+                      file=sys.stderr)
+
+    print(json.dumps(primary))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,25 @@ class AttentionSeqRanker(RankerBase):
         ]
         self.tower = MLP(dims=tuple(self.hidden), dtype=self.tower_dtype)
 
+    def _apply_block(self, blk, h, mask):
+        """One TransformerBlock — optionally via the fused Pallas kernel
+        (``ops.fused_attention``; default OFF from the measured e2e
+        negative result recorded there) with the flax module as the
+        production / init-time path."""
+        from ..ops.fused_attention import (fused_attention_mode,
+                                           fused_block_supported,
+                                           fused_transformer_block)
+
+        mode = fused_attention_mode()
+        L, D = h.shape[1], h.shape[2]
+        if (mode == "off" or self.is_initializing()
+                or h.dtype != jnp.float32 or blk.dropout != 0.0
+                or not fused_block_supported(L, D, blk.ff_dim, blk.num_heads)):
+            return blk(h, mask)
+        return fused_transformer_block(blk.variables["params"], h, mask,
+                                       num_heads=blk.num_heads,
+                                       interpret=mode == "interpret")
+
     def forward_from_fields(self, fields, masks=None):
         names = list(self.schema.names)
         hist_i = names.index(self.hist_feature)
@@ -59,7 +78,7 @@ class AttentionSeqRanker(RankerBase):
         if mask is None:
             mask = jnp.ones(h.shape[:2], jnp.float32)
         for blk in self.blocks:
-            h = blk(h, mask)
+            h = self._apply_block(blk, h, mask)
 
         # target-aware attention pooling
         target = fields[target_i]                                 # (B, D)

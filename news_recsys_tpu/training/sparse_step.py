@@ -177,6 +177,11 @@ def _dedup_rows(ids_flat: jnp.ndarray, grads_flat: jnp.ndarray, spare_row: int,
     packable = (max_id is not None
                 and (max_id + 2) < (1 << (32 - idx_bits)))
     if packable:
+        # ids above max_id (corrupt input / vocab mismatch) are routed to
+        # the invalid sentinel and dropped, exactly like padding — without
+        # this they would alias the sentinel (id == max_id+1) or overflow
+        # the 32-bit pack and scramble the sort order
+        valid = valid & (ids_flat <= max_id)
         sentinel = jnp.int32(max_id + 1)                # sorts after every real id
         key = jnp.where(valid, ids_flat, sentinel)
         packed = (key.astype(jnp.uint32) << idx_bits) | jnp.arange(n, dtype=jnp.uint32)
@@ -272,6 +277,54 @@ def rowwise_adagrad_update(table, acc, rows, grads, lr, eps=1e-10, key=None,
     else:
         p_new = p_new.astype(table.dtype)
     return scatter(table, rows, p_new), acc.at[rows].set(acc_rows)
+
+
+# Slot count above which the rowwise-adagrad update takes the DENSE route
+# (dense_rowwise_adagrad_update) instead of sort-dedup + row scatters.
+# Measured on TPU v5 lite (artifacts/scatter_strategies_r04.json +
+# step_bisect --model attention): at 15.9k slots the sort/segment/scatter
+# chain costs ~565 us/step while the dense route is one scatter-add
+# (~110-150 us) + ~50 us of full-table passes; at 512 slots the row-scatter
+# path (~68 us total) beats a full-table pass. Crossover sits near the
+# point where N * ~50ns/row exceeds ~8 bytes/elem of full-table traffic.
+DENSE_UPDATE_MIN_SLOTS = 4096
+
+
+def dense_rowwise_adagrad_update(table, acc, ids_flat, grads_flat, lr,
+                                 eps=1e-10, key=None, max_id=None):
+    """Rowwise AdaGrad via a dense full-table pass — the large-slot-count
+    fast path (no sort, no dedup, no row scatter).
+
+    ONE (V, D) scatter-add materializes the per-row summed gradient
+    (duplicate ids combine inside the scatter; padding/out-of-range ids are
+    routed out of bounds and dropped by JAX scatter semantics), then
+    ``acc += mean(g^2)`` and the parameter step run as dense elementwise
+    passes over the whole table. Exact vs :func:`rowwise_adagrad_update`
+    on deduped rows because (a) scatter-add produces exactly the
+    duplicate-summed gradient and (b) a touched row with an all-zero
+    gradient is a no-op under AdaGrad (acc += 0, p -= 0), so
+    ``touched = mean(g^2) > 0`` loses nothing. Preferred above
+    ``DENSE_UPDATE_MIN_SLOTS`` where every step of the sort-dedup chain
+    (bitonic sort, segment-sum, (V,) and (V, D) scatters) is
+    slot-proportional while this path is one scatter-add plus
+    O(V*D) streaming traffic.
+    """
+    v = table.shape[0]
+    bound = v if max_id is None else max_id + 1   # same validity domain as
+    safe = jnp.where((ids_flat > 0) & (ids_flat < bound), ids_flat, v)  # _dedup_rows: ids
+    # above the real vocab are dropped (scatter OOB), like padding
+    dense_g = jnp.zeros(table.shape, jnp.float32).at[safe].add(grads_flat)
+    g2 = jnp.mean(dense_g * dense_g, axis=-1)                        # (V,)
+    acc_new = acc + g2
+    p_new = (table.astype(jnp.float32)
+             - lr * dense_g / (jnp.sqrt(acc_new) + eps)[:, None])
+    if table.dtype == jnp.bfloat16:
+        assert key is not None, "bf16 table write-back needs a PRNG key"
+        p_new = stochastic_round_bf16(p_new, key)
+    else:
+        p_new = p_new.astype(table.dtype)
+    touched = g2 > 0
+    return jnp.where(touched[:, None], p_new, table), acc_new
 
 
 OOB_ROW = jnp.int32(2**29)  # routes a slot's update out of every shard's range
@@ -547,7 +600,25 @@ def make_table_updater(cfg: Config, tables_spec, mesh=None):
         step1 = step + 1
         new_tables, new_mu, new_nu = dict(tables), dict(emb_mu), dict(emb_nu)
         step_key = jax.random.fold_in(jax.random.PRNGKey(hp.seed), step)
-        per_table_rows = _joint_dedup(per_table, table_vocab, spare, layout=layout)
+        # Large slot counts + rowwise adagrad: dense full-table route, no
+        # dedup needed (see dense_rowwise_adagrad_update). Sharded tables
+        # keep the shard-local scatter path.
+        dense_route = set()
+        if adagrad and sharded_update is None:
+            dense_route = {t for t, pairs in per_table.items()
+                           if sum(p[0].shape[0] for p in pairs)
+                           >= DENSE_UPDATE_MIN_SLOTS}
+        for ti, tname in enumerate(sorted(dense_route)):
+            pairs = per_table[tname]
+            ids = jnp.concatenate([p[0] for p in pairs])
+            grads = jnp.concatenate([p[1] for p in pairs])
+            tkey = jax.random.fold_in(step_key, 1000 + ti)
+            new_tables[tname], new_mu[tname] = dense_rowwise_adagrad_update(
+                tables[tname], emb_mu[tname], ids, grads, lr_t, key=tkey,
+                max_id=int(table_vocab[tname][0]) - 1)
+        per_table_rows = _joint_dedup(
+            {t: v for t, v in per_table.items() if t not in dense_route},
+            table_vocab, spare, layout=layout)
         for ti, (tname, (rows, grads)) in enumerate(sorted(per_table_rows.items())):
             tkey = jax.random.fold_in(step_key, ti)
             if adagrad:
@@ -634,12 +705,16 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
     def _pending_update(tables, emb_mu, emb_nu, pend, step, lr_t):
         """Apply ONE combined update from the pending (K, S) buffers; slots
         with valid=False route their ids to 0 (padding) and are dropped by
-        the dedup."""
+        the dedup. The optimizer step passed down is the EMBEDDING-APPLY
+        count (step // K), not the global step: sparse_adamw's bias
+        correction (1 - b^t) must count applied moment updates — mu/nu
+        advance once per K steps. lr is sampled at the apply step (part of
+        the documented K>1 staleness contract, like the K-step-stale rows)."""
         pids, pg, valid = pend
         per_t = {t: [(jnp.where(valid[:, None], pids[t], 0).reshape(-1),
                       pg[t].reshape(-1, table_dim[t]))]
                  for t in pids}
-        return table_update(tables, emb_mu, emb_nu, per_t, step, lr_t)
+        return table_update(tables, emb_mu, emb_nu, per_t, step // K, lr_t)
 
     def _pending_zeros():
         return ({t: jnp.zeros((K, s), jnp.int32) for t, s in slot_sizes.items()},

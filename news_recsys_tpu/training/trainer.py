@@ -77,12 +77,14 @@ def binned_auc_update(hist: AucHist, probs, labels, weights) -> AucHist:
     neg_w = weights * (1.0 - labels)
     # histogram as a one-hot matmul: a (B,)-indexed scatter-add with
     # duplicate bins serializes on TPU, while (2, B) @ (B, BINS) rides the
-    # MXU (~1 us at B=512). The one-hot is bf16 — its entries are 0/1 so
-    # the f32-accumulated product is exact, at half the HBM traffic of a
-    # f32 one-hot (B x BINS is the largest intermediate in the step)
+    # MXU (~1 us at B=512). Only the large B x BINS one-hot is bf16 — its
+    # entries are 0/1 so the f32-accumulated product is exact at half the
+    # HBM traffic; the (2, B) weight operand stays f32 (mixed-dtype
+    # dot_general) so non-binary sample weights keep full precision too.
     onehot = (bins[:, None] == jnp.arange(AUC_BINS)[None, :]).astype(jnp.bfloat16)
-    upd = jnp.matmul(jnp.stack([pos_w, neg_w]).astype(jnp.bfloat16), onehot,
-                     preferred_element_type=jnp.float32)
+    upd = jax.lax.dot_general(
+        jnp.stack([pos_w, neg_w]), onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     return AucHist(pos=hist.pos + upd[0], neg=hist.neg + upd[1])
 
 

@@ -1,10 +1,13 @@
 """Experiment-log analyzer: parse ``val_log.log``, report the best epoch.
 
-Capability parity with ``src/scripts/log_analysis.py``: regex state machine
-over the epoch blocks (``log_analysis.py:6-84``), best epoch chosen by
-Warm-Start AUC (``:86-98``), markdown table output (``:114-131``). The block
-format itself is produced by
-:func:`news_recsys_tpu.training.metrics.format_validation_block`.
+Capability parity with the reference's ``src/scripts/log_analysis.py``
+(best epoch by Warm-Start AUC, markdown report), re-built around this
+framework's own structures: the log block format is what
+:func:`news_recsys_tpu.training.metrics.format_validation_block` emits, so
+the parser inverts THAT format — it splits the file on the epoch header and
+reads each block's sections in one pass — and the report is rendered by a
+generic markdown-table helper over the parsed section dicts. Only the
+header/metric regex literals are format-determined.
 """
 
 from __future__ import annotations
@@ -14,56 +17,49 @@ import os
 import re
 from typing import Dict, List, Optional
 
-EPOCH_START = re.compile(r"=+ Epoch (\d+) Validation Results =+")
-SECTION = re.compile(r"^\s*(Overall|Warm Start Users|Cold Start Users|Retrieval).*:$")
-METRIC = re.compile(r"^([a-zA-Z0-9@]+):\s+([0-9\.\-eE]+|nan|inf|-inf)")
-BLOCK_END = re.compile(r"={10,}")
+# Inverses of format_validation_block's emissions (metrics.py:189-215) and
+# the Retrieval block (retrieval.py): an epoch header, a section header
+# ("Overall:", "Warm Start Users (123):", "Retrieval ..."), a metric line.
+EPOCH_HEADER = re.compile(r"=+ Epoch (\d+) Validation Results =+")
+SECTION_HEADER = re.compile(r"^(?P<name>[A-Za-z][A-Za-z @]*?)\s*(?:\([^)]*\))?\s*:\s*$")
+METRIC_LINE = re.compile(r"^\s+(?P<name>[A-Za-z0-9@]+):\s+(?P<value>\S+)\s*$")
 
+# canonical section keys, in report column order
 SECTIONS = ["Overall", "Warm Start Users", "Cold Start Users"]
 
 
-def parse_log(file_path: str) -> List[Dict]:
-    with open(file_path, "r") as f:
-        lines = f.readlines()
+def _canon_section(raw: str) -> str:
+    for key in (*SECTIONS, "Retrieval"):
+        if raw.startswith(key.split()[0]):
+            return key
+    return raw
 
-    epochs: List[Dict] = []
-    current: Optional[Dict] = None
-    section: Optional[str] = None
-    for line in lines:
-        line = line.strip()
-        if not line:
+
+def _parse_block(text: str) -> Dict[str, Dict[str, float]]:
+    """One epoch block -> {section: {metric: value}}."""
+    sections: Dict[str, Dict[str, float]] = {}
+    current: Optional[Dict[str, float]] = None
+    for line in text.splitlines():
+        if SECTION_HEADER.match(line):
+            current = sections.setdefault(
+                _canon_section(SECTION_HEADER.match(line)["name"]), {})
             continue
-        m = EPOCH_START.match(line)
-        if m:
-            if current is not None:
-                epochs.append(current)
-            current = {"epoch": int(m.group(1)), "data": {}}
-            section = None
-            continue
-        if current is None:
-            continue
-        if BLOCK_END.match(line) and "Epoch" not in line:
-            epochs.append(current)
-            current, section = None, None
-            continue
-        m = SECTION.match(line)
-        if m:
-            raw = m.group(1)
-            section = ("Warm Start Users" if "Warm" in raw
-                       else "Cold Start Users" if "Cold" in raw
-                       else "Retrieval" if "Retrieval" in raw else "Overall")
-            current["data"][section] = {}
-            continue
-        m = METRIC.match(line)
-        if m and section:
+        m = METRIC_LINE.match(line)
+        if m and current is not None:
             try:
-                val = float(m.group(2))
+                current[m["name"]] = float(m["value"])
             except ValueError:
-                val = float("nan")
-            current["data"][section][m.group(1)] = val
-    if current is not None:
-        epochs.append(current)
-    return epochs
+                current[m["name"]] = float("nan")
+    return sections
+
+
+def parse_log(file_path: str) -> List[Dict]:
+    """Parse a ``val_log.log`` into ``[{"epoch": int, "data": {...}}, ...]``."""
+    with open(file_path, "r") as f:
+        # split on epoch headers; parts alternate [junk, epoch#, block, ...]
+        parts = EPOCH_HEADER.split(f.read())
+    return [{"epoch": int(num), "data": _parse_block(body)}
+            for num, body in zip(parts[1::2], parts[2::2])]
 
 
 def _retrieval_criterion(e: Dict) -> Optional[float]:
@@ -75,60 +71,74 @@ def _retrieval_criterion(e: Dict) -> Optional[float]:
 
 
 def best_epoch(epochs: List[Dict]) -> Optional[Dict]:
-    """Best epoch by Warm-Start AUC (reference criterion); retrieval runs
-    (DSSM val_log blocks) fall back to HR@k."""
-    best, max_val = None, -1.0
-    for e in epochs:
+    """Best epoch by Warm-Start AUC (the reference's selection criterion,
+    ``log_analysis.py:86-98``); retrieval runs (DSSM val_log blocks) fall
+    back to HR@k."""
+
+    def criterion(e: Dict) -> float:
         val = e.get("data", {}).get("Warm Start Users", {}).get("AUC")
         if val is None:
             val = _retrieval_criterion(e)
-        if val is None or val != val:
-            continue
-        if val > max_val:
-            max_val, best = val, e
-    return best
+        return val if val is not None and val == val else float("-inf")
+
+    candidates = [e for e in epochs if criterion(e) > float("-inf")]
+    return max(candidates, key=criterion) if candidates else None
 
 
-def _format_best_retrieval(e: Dict, model_name: str) -> str:
-    sec = e["data"]["Retrieval"]
-    out = [f"Best Epoch: {e['epoch']} (Retrieval HR: {_retrieval_criterion(e):.4f})", ""]
-    out.append("| Model | Metric | Value |")
-    out.append("| :--- | :--- | :--- |")
-    for i, (metric, val) in enumerate(sorted(sec.items())):
-        fmt = f"{val:.4f}" if isinstance(val, float) and metric != "Queries" else str(int(val))
-        out.append(f"| {model_name if i == 0 else ''} | {metric} | {fmt} |")
-    return "\n".join(out)
+def _md_table(headers: List[str], rows: List[List[str]]) -> str:
+    lines = ["| " + " | ".join(headers) + " |",
+             "| " + " | ".join(["---"] * len(headers)) + " |"]
+    lines += ["| " + " | ".join(row) + " |" for row in rows]
+    return "\n".join(lines)
+
+
+def _fmt(val, metric: str = "") -> str:
+    if not isinstance(val, float):
+        return str(val)
+    if metric in ("Queries", "User_Count") or val == int(val) and abs(val) >= 100:
+        return str(int(val))
+    return f"{val:.4f}"
 
 
 def format_best_epoch(epochs: List[Dict], model_name: str = "Unknown") -> str:
     e = best_epoch(epochs)
     if not e:
         return "No valid epoch data found."
-    if "Retrieval" in e["data"] and "Warm Start Users" not in e["data"]:
-        return _format_best_retrieval(e, model_name)
-    auc = e["data"]["Warm Start Users"]["AUC"]
-    out = [f"Best Epoch: {e['epoch']} (Warm Start AUC: {auc:.4f})", ""]
-    metrics = list(e["data"].get("Overall", e["data"].get("Warm Start Users", {})).keys())
-    out.append("| Model | Metric | " + " | ".join(SECTIONS) + " |")
-    out.append("| :--- | :--- | " + " | ".join([":---"] * len(SECTIONS)) + " |")
-    for i, metric in enumerate(metrics):
-        row = [model_name if i == 0 else "", metric]
-        for s in SECTIONS:
-            val = e["data"].get(s, {}).get(metric, "N/A")
-            row.append(f"{val:.4f}" if isinstance(val, float) else str(val))
-        out.append("| " + " | ".join(row) + " |")
-    return "\n".join(out)
+    data = e["data"]
+    if "Retrieval" in data and "Warm Start Users" not in data:
+        sec = data["Retrieval"]
+        title = (f"## {model_name} — Best Epoch {e['epoch']} "
+                 f"(Retrieval HR: {_retrieval_criterion(e):.4f})")
+        rows = [[metric, _fmt(val, metric)] for metric, val in sorted(sec.items())]
+        return f"{title}\n\n" + _md_table(["Metric", "Value"], rows)
+    title = (f"## {model_name} — Best Epoch {e['epoch']} "
+             f"(Warm Start AUC: {data['Warm Start Users']['AUC']:.4f})")
+    present = [s for s in SECTIONS if s in data]
+    metrics: List[str] = []
+    for s in present:  # union, first-seen order
+        metrics += [m for m in data[s] if m not in metrics]
+    rows = [[metric] + [_fmt(data[s].get(metric, "N/A"), metric) for s in present]
+            for metric in metrics]
+    return f"{title}\n\n" + _md_table(["Metric"] + present, rows)
+
+
+def model_name_from_dir(log_file: str) -> str:
+    """Experiment dirs are ``experiments/<model>_<YYYYmmdd-HHMMSS>``; strip
+    the trailing timestamp if present, else use the dir name as-is."""
+    dirname = os.path.basename(os.path.dirname(os.path.abspath(log_file)))
+    return re.sub(r"_\d{8}-\d{6}$", "", dirname) or "Unknown"
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser(description="Analyze val_log.log for best Warm Start AUC.")
+    parser = argparse.ArgumentParser(
+        description="Report the best epoch of a val_log.log as markdown.")
     parser.add_argument("log_file")
     args = parser.parse_args(argv)
     if not os.path.exists(args.log_file):
         print(f"Log file not found: {args.log_file}")
         return
-    model_name = os.path.basename(os.path.dirname(os.path.abspath(args.log_file))).split("_")[0]
-    print(format_best_epoch(parse_log(args.log_file), model_name))
+    print(format_best_epoch(parse_log(args.log_file),
+                            model_name_from_dir(args.log_file)))
 
 
 if __name__ == "__main__":

@@ -48,6 +48,53 @@ def mind_config(name: str = "dcn", batch_size: int = 512, equal_dims: bool = Fal
     })
 
 
+ATTENTION_HIST_LEN = 30  # configs/attention.yaml array_max_length
+
+
+def attention_config(batch_size: int = 512, hist_len: int = ATTENTION_HIST_LEN,
+                     embedding_optimizer: str = "rowwise_adagrad") -> Config:
+    """The attention sequence ranker's bench/bisect config: user history as
+    an unpooled array feature sharing the item table."""
+    return config_from_dict({
+        "name": "attention",
+        "features": {
+            "feature_names": ["user_id", "item_id", "category", "hist"],
+            "sparse_feature_names": ["user_id", "item_id", "category"],
+            "array_feature_names": ["hist"],
+            "item_feature_names": ["item_id", "category"],
+            "user_feature_names": ["user_id", "hist"],
+            "array_max_length": {"hist": hist_len},
+        },
+        "embeddings": {
+            "embedding_size": {"user_id": 32, "item_id": 32, "category": 16},
+            "embedding_table_size": {k: MIND_TABLE_SIZE[k]
+                                     for k in ("user_id", "item_id", "category")},
+            "share_emb_table_features": {"hist": "item_id"},
+        },
+        "dataset": {"batch_size": batch_size},
+        "train_hparams": {"lr": 1e-3, "min_lr": 5e-6,
+                          "lr_milestones": [40000, 200000], "max_step": 300000,
+                          "embedding_optimizer": embedding_optimizer},
+        "attention_cfg": {"hist_feature": "hist", "num_layers": 1,
+                          "num_heads": 2, "ff_dim": 64},
+    })
+
+
+def attention_arrays(rows: int, hist_len: int = ATTENTION_HIST_LEN,
+                     seed: int = 0) -> Dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    hist = rng.integers(0, MIND_TABLE_SIZE["item_id"],
+                        (rows, hist_len)).astype(np.int32)
+    return {
+        "user_id": rng.integers(1, MIND_TABLE_SIZE["user_id"], rows).astype(np.int32),
+        "item_id": rng.integers(1, MIND_TABLE_SIZE["item_id"], rows).astype(np.int32),
+        "category": rng.integers(1, MIND_TABLE_SIZE["category"], rows).astype(np.int32),
+        "hist": hist,
+        "hist_mask": (hist != 0).astype(np.float32),
+        "label": (rng.random(rows) < 0.1).astype(np.float32).reshape(-1, 1),
+    }
+
+
 def synthetic_batch(batch_size: int, seed: int = 0) -> Dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)
     batch = {

@@ -25,7 +25,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODELS = ["lr", "deep", "widedeep", "fm", "dcn"]
+MODELS = ["lr", "deep", "widedeep", "fm", "dcn", "attention", "dssm"]
+
+ARRAY_FEATURES = ("hist", "entities")  # extracted at fullscale; only the
+                                       # sequence models consume them
 
 
 def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
@@ -38,8 +41,38 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
 
     cfg = load_config(config)
     raw = config_to_dict(cfg)
+    variant = ""
+    if "@" in name:
+        name, variant = name.split("@", 1)
     raw["name"] = name
-    if name in ("lr", "fm"):
+    feats = raw["features"]
+
+    def drop_arrays(keep=()):
+        gone = [a for a in ARRAY_FEATURES if a not in keep]
+        for key in ("feature_names", "array_feature_names",
+                    "item_feature_names", "user_feature_names"):
+            feats[key] = [f for f in feats.get(key, []) if f not in gone]
+        for a in gone:
+            feats.get("array_max_length", {}).pop(a, None)
+            raw["embeddings"]["embedding_size"].pop(a, None)
+            raw["embeddings"]["embedding_table_size"].pop(a, None)
+            raw["embeddings"].get("share_emb_table_features", {}).pop(a, None)
+
+    if name == "attention":
+        # configs/attention.yaml: history transformer + entities, history
+        # shares the item table
+        drop_arrays(keep=ARRAY_FEATURES)
+        raw["attention_cfg"] = {"hist_feature": "hist", "num_layers": 1,
+                                "num_heads": 2, "ff_dim": 64}
+    elif name == "dssm":
+        # configs/dssm.yaml: two-tower retrieval, equal 16-dim embeddings,
+        # history mean-pool in the user tower
+        drop_arrays(keep=("hist",))
+        raw["embeddings"]["embedding_size"] = {
+            k: 16 for k in raw["embeddings"]["embedding_size"]}
+    else:
+        drop_arrays()
+    if name in ("lr", "fm") and optimizer == "auto":
         # The shallow models score DIRECTLY from raw embeddings (LR: sum of
         # dim-1 biases; FM: quadratic form), so the torch-default N(0,1)
         # init starts them deep in sigmoid saturation (FM logit std ~15).
@@ -48,7 +81,19 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
         # decaying step stalls. They also get the longer recipe
         # (--shallow-epochs; the reference trains everything 30 epochs).
         optimizer = "adamw"
+    elif optimizer == "auto":
+        optimizer = "rowwise_adagrad"
     raw["train_hparams"]["embedding_optimizer"] = optimizer
+    if variant == "b8192":
+        # large-batch recipe: sqrt lr scaling from the reference's b512
+        # (512 -> 8192 is 16x batch, 4x lr), step-count knobs scaled to
+        # keep the schedule aligned in EPOCHS
+        raw["dataset"]["batch_size"] = 8192
+        hp = raw["train_hparams"]
+        hp["lr"] = hp["lr"] * 4.0
+        hp["min_lr"] = hp["min_lr"] * 4.0
+        hp["lr_milestones"] = [max(1, m // 16) for m in hp["lr_milestones"]]
+        hp["max_step"] = max(1, hp["max_step"] // 16)
     if chunk_steps:
         raw["train_hparams"]["chunk_steps"] = chunk_steps
     if name == "widedeep":
@@ -64,11 +109,12 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
             k: 16 for k in raw["embeddings"]["embedding_size"]}
     if name == "dcn":
         raw.setdefault("dcn_cfg", {"num_layers": 3, "version": 1})
-    model_cfg = os.path.join(workdir, f"{name}.yaml")
+    tag = f"{name}_{variant}" if variant else name
+    model_cfg = os.path.join(workdir, f"{tag}.yaml")
     with open(model_cfg, "w") as f:
         yaml.safe_dump(raw, f)
 
-    exp_dir = os.path.join(workdir, f"exp_{name}")
+    exp_dir = os.path.join(workdir, f"exp_{tag}")
     reuse = (os.environ.get("FULLSCALE_REUSE") == "1"
              and os.path.exists(os.path.join(exp_dir, "val_log.log"))
              and open(os.path.join(exp_dir, "val_log.log")).read().count(
@@ -90,10 +136,10 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
         print(proc.stderr[-4000:])
         raise RuntimeError(f"{name} training failed (rc={proc.returncode})")
 
-    from news_recsys_tpu.utils.log_analysis import parse_log
+    from news_recsys_tpu.utils.log_analysis import best_epoch, parse_log
     epochs_parsed = parse_log(os.path.join(exp_dir, "val_log.log"))
-    best = max(epochs_parsed,
-               key=lambda e: e["data"].get("Warm Start Users", {}).get("AUC", 0.0))
+    # Warm-Start AUC for rankers, HR@k fallback for retrieval blocks
+    best = best_epoch(epochs_parsed)
     # examples/sec from metrics.jsonl (last train entry)
     exps = []
     with open(os.path.join(exp_dir, "metrics.jsonl")) as f:
@@ -101,8 +147,13 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
             rec = json.loads(line)
             if "examples_per_sec" in rec:
                 exps.append(rec["examples_per_sec"])
+    extra = {}
+    ret_path = os.path.join(exp_dir, "retrieval_eval.json")
+    if os.path.exists(ret_path):
+        with open(ret_path) as f:
+            extra["final_retrieval_eval"] = json.load(f)
     return {
-        "model": name,
+        "model": tag,
         "optimizer": optimizer,
         "epochs": epochs,
         **({"reused_existing_run": True} if reuse else {}),
@@ -113,6 +164,7 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
                  {k: round(v, 5) for k, v in vals.items()}
                  for coh, vals in best["data"].items()},
         "exp_dir": exp_dir,
+        **extra,
     }
 
 
@@ -121,7 +173,8 @@ def main():
     ap.add_argument("--config", required=True, help="base full-scale yaml")
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--models", default=",".join(MODELS))
-    ap.add_argument("--optimizer", default="rowwise_adagrad")
+    ap.add_argument("--optimizer", default="auto",
+                    help="auto = rowwise_adagrad, with the documented adamw exception for the shallow lr/fm models; pass an explicit optimizer to force one column across the whole zoo")
     ap.add_argument("--chunk-steps", type=int, default=0)
     ap.add_argument("--shallow-epochs", type=int, default=0,
                     help="override epochs for the shallow lr/fm models (they "
@@ -135,7 +188,8 @@ def main():
     results = []
     for name in args.models.split(","):
         print(f"=== {name} ===", flush=True)
-        epochs = (args.shallow_epochs or args.epochs) if name in ("lr", "fm") else args.epochs
+        epochs = (args.shallow_epochs or args.epochs) \
+            if name.split("@")[0] in ("lr", "fm") else args.epochs
         res = run_model(name, args.config, epochs, args.workdir, args.optimizer,
                         chunk_steps=args.chunk_steps)
         print(json.dumps({k: v for k, v in res.items() if k != "exp_dir"}), flush=True)
@@ -164,7 +218,11 @@ def main():
     lr_res = [r for r in results if r["model"] == "lr"]
     lr_auc = lr_res[0]["best"]["Overall"]["AUC"] if lr_res else None
     for r in results:
-        if r["model"] != "lr":
+        if "Retrieval" in r["best"]:
+            hr = {k: v for k, v in r["best"]["Retrieval"].items()
+                  if k.startswith("HR@")}
+            print(f"{r['model']}: retrieval {hr}")
+        elif r["model"] != "lr":
             line = f"{r['model']}: Overall AUC {r['best']['Overall']['AUC']:.4f}"
             if lr_auc is not None:
                 delta = r["best"]["Overall"]["AUC"] - lr_auc

@@ -20,8 +20,12 @@ chunk fn and monkeypatched full-minus-{table update, AUC, dense opt}.
 Interleaved min-of-5 rounds to cancel the shared chip's +-30% drift.
 """
 
+import os
+import sys
 import time
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +36,9 @@ from news_recsys_tpu.data.packed_dataset import PackedDataset, unpack_batch
 from news_recsys_tpu.models.rankers import build_ranker
 from news_recsys_tpu.training import sparse_step as ss
 from news_recsys_tpu.training.trainer import AucHist, Trainer
-from news_recsys_tpu.zoo import MIND_FEATURES, MIND_TABLE_SIZE, mind_config
+from news_recsys_tpu.zoo import (MIND_FEATURES, MIND_TABLE_SIZE,
+                                 attention_arrays, attention_config,
+                                 mind_config)
 
 BATCH, STEPS, ROUNDS = 512, 512, 5
 
@@ -55,13 +61,20 @@ def tiny_consume(tree):
 
 
 def main():
+    which = "attention" if "--model" in sys.argv and \
+        sys.argv[sys.argv.index("--model") + 1] == "attention" else "dcn"
     rng = np.random.default_rng(0)
-    arrays = {n: rng.integers(1, MIND_TABLE_SIZE[n], BATCH * STEPS).astype(np.int32)
-              for n in MIND_FEATURES}
-    arrays["label"] = (rng.random(BATCH * STEPS) < 0.1).astype(np.float32).reshape(-1, 1)
-    ds = PackedDataset(arrays)
-    cfg = mind_config("dcn", batch_size=BATCH, embedding_optimizer="rowwise_adagrad")
-    model = build_ranker(cfg, "dcn")
+    if which == "attention":
+        ds = PackedDataset(attention_arrays(BATCH * STEPS))
+        cfg = attention_config(batch_size=BATCH)
+    else:
+        arrays = {n: rng.integers(1, MIND_TABLE_SIZE[n], BATCH * STEPS).astype(np.int32)
+                  for n in MIND_FEATURES}
+        arrays["label"] = (rng.random(BATCH * STEPS) < 0.1).astype(np.float32).reshape(-1, 1)
+        ds = PackedDataset(arrays)
+        cfg = mind_config("dcn", batch_size=BATCH, embedding_optimizer="rowwise_adagrad")
+    model = build_ranker(cfg, which)
+    print(f"model: {which}")
     with tempfile.TemporaryDirectory() as tmp:
         tr = Trainer(cfg, model, workdir=tmp, use_mesh=False)
         b0 = {k: np.asarray(v[:BATCH]) for k, v in ds.arrays.items()}
@@ -103,9 +116,11 @@ def main():
                 if kind == "gathers":
                     return c + live(rows_in) + live(labels), ()
 
+                unpooled = set(getattr(model, "unpooled_arrays", ()) or ())
+
                 def loss_from(dense_p, small_t, rows):
                     fields, masks = ss.fields_from_rows(
-                        schema, batch, rows, small_t, large, ())
+                        schema, batch, rows, small_t, large, unpooled)
                     full = {"params": {**dense_p, "embedder": jax.tree.map(
                         jax.lax.stop_gradient, tables)}}
                     logits = model.apply(full, fields, masks,

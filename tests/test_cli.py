@@ -55,7 +55,9 @@ def test_cli_full_flow(workspace, capsys):
     cli_main(["log", workdir])
     out = capsys.readouterr().out
     assert "Best Epoch" in out
-    assert "| Model | Metric |" in out
+    # markdown table over the parsed cohort sections (log_analysis.py)
+    assert "| Metric | Overall | Warm Start Users | Cold Start Users |" in out
+    assert "deep" in out  # model name in the report title
 
 
 def test_cli_dssm(workspace, capsys):

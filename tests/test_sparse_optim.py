@@ -386,3 +386,55 @@ def test_lazy_writeback_dssm_rejected(tmp_path):
     ds = make_ds(n=64)
     with pytest.raises(NotImplementedError, match="ranking path only"):
         tr.fit(ds, max_epochs=1)
+
+
+def test_dense_adagrad_update_parity():
+    """dense_rowwise_adagrad_update (sort-free full-table route) == dedup +
+    rowwise_adagrad_update on random duplicate-heavy ids incl padding and
+    out-of-range ids."""
+    from news_recsys_tpu.training.sparse_step import (
+        dense_rowwise_adagrad_update, rowwise_adagrad_update)
+
+    rng = np.random.default_rng(7)
+    V, D, N = 64, 8, 300          # V includes padded rows; real ids 1..49
+    max_id = 49
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    acc = jnp.asarray(rng.random(V) + 0.1, jnp.float32)
+    ids = rng.integers(0, max_id + 6, N).astype(np.int32)  # dups + OOB
+    ids[rng.random(N) < 0.2] = 0                           # padding
+    grads = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+
+    valid = (ids > 0) & (ids <= max_id)
+    rows, g, _ = _dedup_rows(jnp.asarray(np.where(valid, ids, 0)), grads,
+                             spare_row=V - 1, max_id=max_id)
+    t_ref, a_ref = rowwise_adagrad_update(table, acc, rows, g, 0.05)
+    t_new, a_new = dense_rowwise_adagrad_update(table, acc, jnp.asarray(ids),
+                                                grads, 0.05, max_id=max_id)
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_new),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_ref), np.asarray(a_new),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_dense_route_trainer_matches_scatter_route(tmp_path):
+    """Full trainer epoch with the dense-route threshold forced low ==
+    default scatter route (same data, same init): the strategy switch is a
+    pure implementation detail."""
+    from news_recsys_tpu.training import sparse_step as ss
+
+    ds = make_ds(n=512)
+    finals = {}
+    for tag, threshold in (("scatter", 10**9), ("dense", 1)):
+        old = ss.DENSE_UPDATE_MIN_SLOTS
+        ss.DENSE_UPDATE_MIN_SLOTS = threshold
+        try:
+            cfg = make_cfg(sparse=True, optimizer="rowwise_adagrad")
+            model = build_ranker(cfg, "deep")
+            tr = Trainer(cfg, model, workdir=str(tmp_path / tag), use_mesh=False)
+            state = tr.fit(ds, max_epochs=2)
+            finals[tag] = jax.device_get(state.params["params"]["embedder"])
+        finally:
+            ss.DENSE_UPDATE_MIN_SLOTS = old
+    for k in finals["scatter"]:
+        np.testing.assert_allclose(finals["scatter"][k], finals["dense"][k],
+                                   rtol=2e-5, atol=2e-5)
