@@ -66,10 +66,14 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
                                 "num_heads": 2, "ff_dim": 64}
     elif name == "dssm":
         # configs/dssm.yaml: two-tower retrieval, equal 16-dim embeddings,
-        # history mean-pool in the user tower
+        # history mean-pool in the user tower; the reference's OWN retrieval
+        # recipe (DSSM/train.py:11-18): lr 3e-3 -> 1e-4 over steps
+        # [10k, 60k], long training (reference runs 100 epochs)
         drop_arrays(keep=("hist",))
         raw["embeddings"]["embedding_size"] = {
             k: 16 for k in raw["embeddings"]["embedding_size"]}
+        raw["train_hparams"].update(lr=3e-3, min_lr=1e-4,
+                                    lr_milestones=[10000, 60000])
     else:
         drop_arrays()
     if name in ("lr", "fm") and optimizer == "auto":
@@ -84,6 +88,9 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
     elif optimizer == "auto":
         optimizer = "rowwise_adagrad"
     raw["train_hparams"]["embedding_optimizer"] = optimizer
+    if variant == "adamw":          # optimizer parity reference row
+        optimizer = "adamw"
+        raw["train_hparams"]["embedding_optimizer"] = optimizer
     if variant == "b8192":
         # large-batch recipe: sqrt lr scaling from the reference's b512
         # (512 -> 8192 is 16x batch, 4x lr), step-count knobs scaled to
@@ -176,6 +183,10 @@ def main():
     ap.add_argument("--optimizer", default="auto",
                     help="auto = rowwise_adagrad, with the documented adamw exception for the shallow lr/fm models; pass an explicit optimizer to force one column across the whole zoo")
     ap.add_argument("--chunk-steps", type=int, default=0)
+    ap.add_argument("--dssm-epochs", type=int, default=0,
+                    help="override epochs for the DSSM retrieval run (the "
+                         "reference recipe trains it far longer than the "
+                         "rankers, DSSM/train.py:63-68)")
     ap.add_argument("--shallow-epochs", type=int, default=0,
                     help="override epochs for the shallow lr/fm models (they "
                          "need the reference's long recipe to escape the "
@@ -188,8 +199,12 @@ def main():
     results = []
     for name in args.models.split(","):
         print(f"=== {name} ===", flush=True)
-        epochs = (args.shallow_epochs or args.epochs) \
-            if name.split("@")[0] in ("lr", "fm") else args.epochs
+        base = name.split("@")[0]
+        epochs = args.epochs
+        if base in ("lr", "fm"):
+            epochs = args.shallow_epochs or epochs
+        elif base == "dssm":
+            epochs = args.dssm_epochs or epochs
         res = run_model(name, args.config, epochs, args.workdir, args.optimizer,
                         chunk_steps=args.chunk_steps)
         print(json.dumps({k: v for k, v in res.items() if k != "exp_dir"}), flush=True)

@@ -199,22 +199,30 @@ def main():
             t = jnp.stack(cols, axis=1)
             return consume(carry, t)
 
+        only = None
+        if "--variants" in sys.argv:
+            only = set(sys.argv[sys.argv.index("--variants") + 1].split(","))
+
+        def reg(name, *a):
+            if only is None or name in only:
+                register(name, *a)
+
         print(f"V={V} N={N} D={D}")
-        register("scatter2d", meta, scatter2d, table, rows, vals)
-        register("scatter1d_set", meta, scatter1d_set, acc, rows, svals)
-        register("scatter1d_add", meta, scatter1d_add, acc, rows, svals)
-        register("flat_scatter", meta, flat_scatter, table, rows, vals)
-        register("dense_inv", meta, dense_inv, table, rows, vals)
-        register("dense_sorted", meta, dense_sorted, table, rows_sorted, vals)
-        register("sort_packed", meta, sort_packed, rows)
-        register("scatter2d_add", meta, scatter2d_add, table, rows, vals)
-        register("scatter2d_add_dup", meta, scatter2d_add_dup, table, ids_dup, vals)
-        register("dense_adagrad_route", meta, dense_adagrad_route,
+        reg("scatter2d", meta, scatter2d, table, rows, vals)
+        reg("scatter1d_set", meta, scatter1d_set, acc, rows, svals)
+        reg("scatter1d_add", meta, scatter1d_add, acc, rows, svals)
+        reg("flat_scatter", meta, flat_scatter, table, rows, vals)
+        reg("dense_inv", meta, dense_inv, table, rows, vals)
+        reg("dense_sorted", meta, dense_sorted, table, rows_sorted, vals)
+        reg("sort_packed", meta, sort_packed, rows)
+        reg("scatter2d_add", meta, scatter2d_add, table, rows, vals)
+        reg("scatter2d_add_dup", meta, scatter2d_add_dup, table, ids_dup, vals)
+        reg("dense_adagrad_route", meta, dense_adagrad_route,
                  table, acc, ids_dup, vals)
-        register("sorted_adagrad_route", meta, sorted_adagrad_route,
+        reg("sorted_adagrad_route", meta, sorted_adagrad_route,
                  table, acc, ids_dup, vals)
         if N <= 2048:
-            register("colwise_1d", meta, colwise_1d, table, rows, vals)
+            reg("colwise_1d", meta, colwise_1d, table, rows, vals)
         out, oh = finalize()
         print(f"  (empty-scan overhead {oh:.2f} us/iter)")
         RESULTS.extend(out)

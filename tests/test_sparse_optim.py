@@ -438,3 +438,25 @@ def test_dense_route_trainer_matches_scatter_route(tmp_path):
     for k in finals["scatter"]:
         np.testing.assert_allclose(finals["scatter"][k], finals["dense"][k],
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_dense_route_with_data_parallel_mesh(tmp_path):
+    """The dense full-table route under a DP mesh (replicated tables, the
+    production single-host config where it is live) matches single-device."""
+    from news_recsys_tpu.parallel.mesh import make_mesh
+    from news_recsys_tpu.training import sparse_step as ss
+
+    ds = make_ds(n=512)
+    old = ss.DENSE_UPDATE_MIN_SLOTS
+    ss.DENSE_UPDATE_MIN_SLOTS = 1
+    try:
+        cfg = make_cfg(sparse=True, optimizer="rowwise_adagrad")
+        model = build_ranker(cfg, "deep")
+        t1 = Trainer(cfg, model, workdir=str(tmp_path / "s"), use_mesh=False)
+        p1 = t1.predict(t1.fit(ds, max_epochs=1).params, ds)
+        mesh = make_mesh(data=8, model=1)
+        t2 = Trainer(cfg, model, workdir=str(tmp_path / "m"), mesh=mesh)
+        p2 = t2.predict(t2.fit(ds, max_epochs=1).params, ds)
+    finally:
+        ss.DENSE_UPDATE_MIN_SLOTS = old
+    np.testing.assert_allclose(p1, p2, atol=2e-4)
