@@ -179,6 +179,14 @@ def bench_http(rec):
 
 
 def main():
+    # honor JAX_PLATFORMS under out-of-tree backends (same as cli.py:
+    # the env var alone does not stop the axon plugin from registering)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     import jax
 
     platform = jax.devices()[0].platform
