@@ -194,8 +194,12 @@ def main():
         for metric, fn in [
             ("dssm_e2e_train_examples_per_sec_per_chip",
              lambda: measure_dssm(SEC_ROWS)),
+            # attention runs full ROWS: at SEC_ROWS its epoch is a single
+            # 512-step dispatch, so the fixed ~25 ms dispatch round trip
+            # alone costs ~8% (production epochs are far longer); 1024-step
+            # chunks at ROWS amortize it like the primary line
             ("attention_e2e_train_examples_per_sec_per_chip",
-             lambda: measure_attention(SEC_ROWS)),
+             lambda: measure_attention(ROWS)),
             ("dcn_bf16_e2e_train_examples_per_sec_per_chip",
              lambda: measure(SEC_ROWS, param_dtype="bfloat16",
                              compute_dtype="bfloat16")[:3:2]),
