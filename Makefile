@@ -49,3 +49,11 @@ bench:
 clean:
 	@echo "Cleaning tmp outputs..."
 	@rm -rf tmp
+
+.PHONY: serving-bench
+serving-bench:
+	python scripts/serving_bench.py --json artifacts/serving_bench.json
+
+.PHONY: slab-bench
+slab-bench:
+	python scripts/slab_bench.py --json artifacts/slab_bench.json
