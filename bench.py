@@ -27,7 +27,6 @@ import time
 
 BATCH = 512          # reference training recipe batch size (train_cf_deep.yaml:48)
 ROWS = 512 * 1024    # primary benchmark dataset rows
-SEC_ROWS = 256 * 1024  # secondary-line dataset rows (bounds total bench time)
 CPU_ROWS = 512 * 32   # small: the CPU subprocess only anchors vs_baseline
 COST_STEPS = 16      # scan length for the roofline cost-analysis lowering
 
@@ -191,24 +190,25 @@ def main():
     if not quick:
         # secondary lines FIRST: the driver records the LAST printed line as
         # the parsed headline, which must be the flagship DCN number above
+        # every secondary line runs epochs of >=512k examples: at the old
+        # 256k-row size a whole epoch was ONE chunk dispatch, so the fixed
+        # ~25 ms dispatch round trip skewed lines by 8-18% (production
+        # epochs are far longer); ROWS-sized datasets amortize it
         for metric, fn in [
             ("dssm_e2e_train_examples_per_sec_per_chip",
-             lambda: measure_dssm(SEC_ROWS)),
-            # attention runs full ROWS: at SEC_ROWS its epoch is a single
-            # 512-step dispatch, so the fixed ~25 ms dispatch round trip
-            # alone costs ~8% (production epochs are far longer); 1024-step
-            # chunks at ROWS amortize it like the primary line
+             lambda: measure_dssm(ROWS)),
             ("attention_e2e_train_examples_per_sec_per_chip",
              lambda: measure_attention(ROWS)),
             ("dcn_bf16_e2e_train_examples_per_sec_per_chip",
-             lambda: measure(SEC_ROWS, param_dtype="bfloat16",
+             lambda: measure(ROWS, param_dtype="bfloat16",
                              compute_dtype="bfloat16")[:3:2]),
             # large-batch ceiling: batch 8192 amortizes the per-step op
-            # latency and the slot-proportional table scatters (batch 512 is
-            # the reference recipe and stays the primary line); quality at
-            # b8192 evidenced in artifacts/fullscale_r04 (lr-scaled recipe)
+            # latency and the fixed scatter/gather costs (batch 512 is the
+            # reference recipe and stays the primary line); quality at
+            # b8192 evidenced in artifacts/rankers_fullscale_r04.json
+            # (sqrt-lr-scaled recipe lands within noise of b512)
             ("dcn_b8192_e2e_train_examples_per_sec_per_chip",
-             lambda: measure(SEC_ROWS * 4, batch=8192)[:3:2]),
+             lambda: measure(ROWS * 8, batch=8192)[:3:2]),
         ]:
             try:
                 v, med = fn()

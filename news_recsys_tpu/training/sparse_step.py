@@ -281,12 +281,12 @@ def rowwise_adagrad_update(table, acc, rows, grads, lr, eps=1e-10, key=None,
 
 # Slot count above which the rowwise-adagrad update takes the DENSE route
 # (dense_rowwise_adagrad_update) instead of sort-dedup + row scatters.
-# Measured on TPU v5 lite (artifacts/scatter_strategies_r04.json +
-# step_bisect --model attention): at 15.9k slots the sort/segment/scatter
-# chain costs ~565 us/step while the dense route is one scatter-add
-# (~110-150 us) + ~50 us of full-table passes; at 512 slots the row-scatter
-# path (~68 us total) beats a full-table pass. Crossover sits near the
-# point where N * ~50ns/row exceeds ~8 bytes/elem of full-table traffic.
+# Measured on TPU v5 lite (artifacts/scatter_n15872.json,
+# artifacts/scatter_ncurve_r04.json, step_bisect --model attention): at
+# 15.9k slots the sorted chain costs ~515 us vs ~176 us for the dense
+# route; at <=2k slots row scatters cost ~10 us fixed + ~45 ns/row, well
+# under a full-table pass. 4096 matches MATMUL_DEDUP_MAX: below it the
+# MXU dedup + row scatter wins, above it the dense route does.
 DENSE_UPDATE_MIN_SLOTS = 4096
 
 
@@ -310,9 +310,10 @@ def dense_rowwise_adagrad_update(table, acc, ids_flat, grads_flat, lr,
     O(V*D) streaming traffic.
     """
     v = table.shape[0]
-    bound = v if max_id is None else max_id + 1   # same validity domain as
-    safe = jnp.where((ids_flat > 0) & (ids_flat < bound), ids_flat, v)  # _dedup_rows: ids
-    # above the real vocab are dropped (scatter OOB), like padding
+    # same validity domain as _dedup_rows: padding (0) and ids above the
+    # real vocab route out of bounds and are dropped by JAX scatter
+    bound = v if max_id is None else max_id + 1
+    safe = jnp.where((ids_flat > 0) & (ids_flat < bound), ids_flat, v)
     dense_g = jnp.zeros(table.shape, jnp.float32).at[safe].add(grads_flat)
     g2 = jnp.mean(dense_g * dense_g, axis=-1)                        # (V,)
     acc_new = acc + g2
