@@ -104,7 +104,7 @@ def measure(rows: int, with_cost: bool = False, param_dtype: str = "float32",
     return exs, cost, exs_median
 
 
-def measure_dssm(rows: int) -> float:
+def measure_dssm(rows: int):
     from news_recsys_tpu.data.packed_dataset import PackedDataset
     from news_recsys_tpu.models.dssm import build_dssm
     from news_recsys_tpu.training.retrieval import DSSMTrainer
@@ -187,9 +187,14 @@ def main():
             if k in util:
                 primary[k] = util[k]
 
+    # the driver parses the LAST printed line as the headline, so the
+    # primary DCN line prints at the END — but ALSO right now, so that a
+    # timeout mid-secondaries (remote compiles have taken ~10 min each on
+    # bad days) still leaves the flagship number on record
+    print(json.dumps(primary), flush=True)
+
     if not quick:
-        # secondary lines FIRST: the driver records the LAST printed line as
-        # the parsed headline, which must be the flagship DCN number above
+        # secondary lines, then the primary line again (last = parsed)
         # every secondary line runs epochs of >=512k examples: at the old
         # 256k-row size a whole epoch was ONE chunk dispatch, so the fixed
         # ~25 ms dispatch round trip skewed lines by 8-18% (production
@@ -219,12 +224,12 @@ def main():
                     "methodology": f"best_of_{TIMED_EPOCHS}_epochs",
                     "vs_flagship": round(v / value, 2),
                     "flagship": "dcn_fp32_tpu_examples_per_sec",
-                }))
+                }), flush=True)
             except Exception as e:  # a secondary line must never sink the primary
                 print(json.dumps({"metric": metric, "error": repr(e)[:200]}),
                       file=sys.stderr)
 
-    print(json.dumps(primary))
+        print(json.dumps(primary), flush=True)
 
 
 if __name__ == "__main__":
