@@ -293,10 +293,6 @@ def _param_tuple(params: Dict[str, Any]):
             r(ln2["scale"]), r(ln2["bias"]))
 
 
-def _rows_spec():
-    return pl.BlockSpec((TR, None), lambda t: (t, 0), memory_space=pltpu.VMEM)
-
-
 def _full_spec(shape):
     # same full block every grid step
     return pl.BlockSpec(shape, lambda t: tuple(0 for _ in shape),
