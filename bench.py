@@ -122,7 +122,7 @@ def measure_dssm(rows: int):
     return exs, med
 
 
-def measure_attention(rows: int):
+def measure_attention(rows: int, batch: int = BATCH):
     from news_recsys_tpu.data.packed_dataset import PackedDataset
     from news_recsys_tpu.models.rankers import build_ranker
     from news_recsys_tpu.training.trainer import Trainer
@@ -130,12 +130,12 @@ def measure_attention(rows: int):
 
     import tempfile
 
-    cfg = attention_config(batch_size=BATCH)
+    cfg = attention_config(batch_size=batch)
     model = build_ranker(cfg, "attention")
     ds = PackedDataset(attention_arrays(rows))
     with tempfile.TemporaryDirectory() as tmp:
         trainer = Trainer(cfg, model, workdir=tmp, use_mesh=False)
-        _, exs, med = _timed_epoch(trainer, ds)
+        _, exs, med = _timed_epoch(trainer, ds, batch)
     return exs, med
 
 

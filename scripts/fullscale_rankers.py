@@ -91,16 +91,17 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
     if variant == "adamw":          # optimizer parity reference row
         optimizer = "adamw"
         raw["train_hparams"]["embedding_optimizer"] = optimizer
-    if variant == "b8192":
-        # large-batch recipe: sqrt lr scaling from the reference's b512
-        # (512 -> 8192 is 16x batch, 4x lr), step-count knobs scaled to
-        # keep the schedule aligned in EPOCHS
-        raw["dataset"]["batch_size"] = 8192
+    if variant.startswith("b") and variant[1:].isdigit():
+        # large-batch recipe: sqrt lr scaling from the reference's b512,
+        # step-count knobs scaled to keep the schedule aligned in EPOCHS
+        batch = int(variant[1:])
+        factor = batch // 512
+        raw["dataset"]["batch_size"] = batch
         hp = raw["train_hparams"]
-        hp["lr"] = hp["lr"] * 4.0
-        hp["min_lr"] = hp["min_lr"] * 4.0
-        hp["lr_milestones"] = [max(1, m // 16) for m in hp["lr_milestones"]]
-        hp["max_step"] = max(1, hp["max_step"] // 16)
+        hp["lr"] = hp["lr"] * factor ** 0.5
+        hp["min_lr"] = hp["min_lr"] * factor ** 0.5
+        hp["lr_milestones"] = [max(1, m // factor) for m in hp["lr_milestones"]]
+        hp["max_step"] = max(1, hp["max_step"] // factor)
     if chunk_steps:
         raw["train_hparams"]["chunk_steps"] = chunk_steps
     if name == "widedeep":
