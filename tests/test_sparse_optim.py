@@ -460,3 +460,39 @@ def test_dense_route_with_data_parallel_mesh(tmp_path):
     finally:
         ss.DENSE_UPDATE_MIN_SLOTS = old
     np.testing.assert_allclose(p1, p2, atol=2e-4)
+
+
+def test_dense_adagrad_update_bf16_table():
+    """Dense route on a bf16 table: untouched rows keep their exact bytes
+    (the where() passes originals through), touched rows land on one of the
+    two bf16 neighbours of the fp32 update (stochastic rounding)."""
+    from news_recsys_tpu.training.sparse_step import (
+        dense_rowwise_adagrad_update, rowwise_adagrad_update)
+
+    rng = np.random.default_rng(11)
+    V, D, N = 64, 8, 40
+    table = jnp.asarray(rng.standard_normal((V, D)), jnp.float32).astype(jnp.bfloat16)
+    acc = jnp.full((V,), 0.1, jnp.float32)
+    ids = rng.integers(1, 32, N).astype(np.int32)
+    grads = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    t_new, a_new = dense_rowwise_adagrad_update(
+        table, acc, jnp.asarray(ids), grads, 0.05, key=key, max_id=62)
+    assert t_new.dtype == jnp.bfloat16
+    touched = np.zeros(V, bool)
+    touched[np.unique(ids)] = True
+    # untouched rows bit-identical
+    np.testing.assert_array_equal(np.asarray(t_new)[~touched],
+                                  np.asarray(table)[~touched])
+    # touched rows: within one bf16 ulp of the exact fp32 update
+    exact = jnp.asarray(np.asarray(table, np.float32))
+    valid = (jnp.asarray(ids) > 0)
+    from news_recsys_tpu.training.sparse_step import _dedup_rows
+    rows, g, _ = _dedup_rows(jnp.asarray(ids), grads, spare_row=V - 1, max_id=62)
+    t_ref32, _ = rowwise_adagrad_update(exact, acc, rows, g, 0.05)
+    diff = np.abs(np.asarray(t_new, np.float32)[touched]
+                  - np.asarray(t_ref32)[touched])
+    scale = np.maximum(np.abs(np.asarray(t_ref32)[touched]), 1e-3)
+    assert (diff / scale).max() < 1.0 / 64  # within ~1 bf16 ulp
+    assert np.isfinite(np.asarray(a_new)).all()
