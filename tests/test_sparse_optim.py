@@ -487,7 +487,6 @@ def test_dense_adagrad_update_bf16_table():
                                   np.asarray(table)[~touched])
     # touched rows: within one bf16 ulp of the exact fp32 update
     exact = jnp.asarray(np.asarray(table, np.float32))
-    valid = (jnp.asarray(ids) > 0)
     from news_recsys_tpu.training.sparse_step import _dedup_rows
     rows, g, _ = _dedup_rows(jnp.asarray(ids), grads, spare_row=V - 1, max_id=62)
     t_ref32, _ = rowwise_adagrad_update(exact, acc, rows, g, 0.05)
