@@ -52,6 +52,14 @@ class EmbeddingsConfig:
     embedding_size: Dict[str, int] = field(default_factory=dict)
     embedding_table_size: Dict[str, int] = field(default_factory=dict)
     share_emb_table_features: Dict[str, str] = field(default_factory=dict)
+    # Pack all LARGE tables of the same embedding dim into one physical
+    # "arena_d<D>" parameter (logical ids offset per feature, padding id 0
+    # shared): halves the per-step scatter/gather op count when several
+    # big tables share a dim (user+item in the MIND config) — scatter cost
+    # is fixed-cost dominated at small N (artifacts/scatter_ncurve_r04.json).
+    # Changes the param tree (checkpoints are not interchangeable with
+    # arena off). Tables below ARENA_MIN_VOCAB keep their own params.
+    arena_tables: bool = False
 
 
 @dataclass(frozen=True)
@@ -270,6 +278,11 @@ ARRAY = "array"
 DENSE_FEATURE_DIM = 1  # reference: dense features contribute 1 dim each
 
 
+# Must match models.embedding.SMALL_VOCAB_THRESHOLD: only tables already on
+# the large-table (rowwise-optimizer) path are worth arena packing.
+ARENA_MIN_VOCAB = 4096
+
+
 @dataclass(frozen=True)
 class FeatureSpec:
     name: str
@@ -279,6 +292,8 @@ class FeatureSpec:
     vocab: int                # table rows (0 for dense)
     max_length: int = 0       # array features only
     offset: int = 0           # start column in the concatenated feature matrix
+    id_offset: int = 0        # arena packing: logical id -> arena row shift
+                              # (id 0 stays 0; see arena_layout)
 
 
 @dataclass(frozen=True)
@@ -349,14 +364,19 @@ def build_schema(cfg: Config, names=None) -> FeatureSchema:
             specs.append(FeatureSpec(name=name, kind=DENSE, table="", dim=DENSE_FEATURE_DIM, vocab=0))
         elif name in sparse or name in array:
             table = emb.share_emb_table_features.get(name, name)
+            phys, id_off, vocab = table, 0, int(emb.embedding_table_size[table])
+            packed = arena_layout(cfg).get(table)
+            if packed is not None:
+                phys, id_off, vocab = packed
             specs.append(
                 FeatureSpec(
                     name=name,
                     kind=ARRAY if name in array else SPARSE,
-                    table=table,
+                    table=phys,
                     dim=int(emb.embedding_size[table]),
-                    vocab=int(emb.embedding_table_size[table]),
+                    vocab=vocab,
                     max_length=int(f.array_max_length.get(name, 0)),
+                    id_offset=id_off,
                 )
             )
         else:
@@ -364,12 +384,7 @@ def build_schema(cfg: Config, names=None) -> FeatureSchema:
     return _with_offsets(specs)
 
 
-def table_specs(cfg: Config) -> Dict[str, Tuple[int, int]]:
-    """Unique embedding tables -> (vocab, dim), after share-aliasing.
-
-    Mirrors ``BaseModel._build_embedding_tables`` (``base_model.py:141-166``):
-    tables exist for sparse ∪ array features, shared tables created once.
-    """
+def _logical_table_specs(cfg: Config) -> Dict[str, Tuple[int, int]]:
     f, emb = cfg.features, cfg.embeddings
     tables: Dict[str, Tuple[int, int]] = {}
     for name in sorted(set(f.sparse_feature_names) | set(f.array_feature_names)):
@@ -377,4 +392,52 @@ def table_specs(cfg: Config) -> Dict[str, Tuple[int, int]]:
         if table in tables:
             continue
         tables[table] = (int(emb.embedding_table_size[table]), int(emb.embedding_size[table]))
+    return tables
+
+
+def arena_layout(cfg: Config) -> Dict[str, Tuple[str, int, int]]:
+    """With ``embeddings.arena_tables``: logical table -> (physical arena
+    name, id offset, arena vocab) for every packed table.
+
+    Same-dim LARGE tables (vocab >= ARENA_MIN_VOCAB) pack into one
+    ``arena_d<D>`` parameter. Row 0 stays the shared padding row; member i
+    (sorted by name) occupies rows ``[off_i + 1, off_i + vocab_i)`` with
+    ``off_i = sum(vocab_j - 1 for j < i)``, so the logical->arena mapping
+    is ``id + off_i`` for real ids and identity for padding.
+    """
+    if not cfg.embeddings.arena_tables:
+        return {}
+    logical = _logical_table_specs(cfg)
+    by_dim: Dict[int, List[str]] = {}
+    for name, (vocab, dim) in sorted(logical.items()):
+        if vocab >= ARENA_MIN_VOCAB:
+            by_dim.setdefault(dim, []).append(name)
+    out: Dict[str, Tuple[str, int, int]] = {}
+    for dim, members in by_dim.items():
+        if len(members) < 2:
+            continue                       # nothing to merge
+        total = 1 + sum(logical[m][0] - 1 for m in members)
+        off = 0
+        for m in members:
+            out[m] = (f"arena_d{dim}", off, total)
+            off += logical[m][0] - 1
+    return out
+
+
+def table_specs(cfg: Config) -> Dict[str, Tuple[int, int]]:
+    """Unique PHYSICAL embedding tables -> (vocab, dim), after
+    share-aliasing and (optionally) arena packing.
+
+    Mirrors ``BaseModel._build_embedding_tables`` (``base_model.py:141-166``):
+    tables exist for sparse ∪ array features, shared tables created once.
+    """
+    logical = _logical_table_specs(cfg)
+    arena = arena_layout(cfg)
+    tables: Dict[str, Tuple[int, int]] = {}
+    for name, (vocab, dim) in logical.items():
+        if name in arena:
+            aname, _, avocab = arena[name]
+            tables[aname] = (avocab, dim)
+        else:
+            tables[name] = (vocab, dim)
     return tables

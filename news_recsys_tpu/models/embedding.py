@@ -28,6 +28,14 @@ import jax.numpy as jnp
 
 from ..config import ARRAY, DENSE, SPARSE, Config, FeatureSchema, table_specs
 
+
+def offset_ids(spec, ids):
+    """Logical feature ids -> physical table rows (arena packing): real ids
+    shift by ``spec.id_offset``, padding id 0 stays 0."""
+    if spec.id_offset == 0:
+        return ids
+    return jnp.where(ids > 0, ids + spec.id_offset, 0)
+
 VOCAB_PAD_MULTIPLE = 128
 
 # Tables with vocab below this always stay float32 (and, on the sparse
@@ -144,6 +152,8 @@ class EmbeddingCollection(nn.Module):
         parts = []
         for spec in schema.specs:
             val = batch[spec.name]
+            if spec.kind != DENSE:
+                val = offset_ids(spec, val)
             if spec.kind == DENSE:
                 parts.append(val.astype(jnp.float32)[:, None])
             elif spec.kind == SPARSE:

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import ARRAY, DENSE, SPARSE, Config
-from ..models.embedding import SMALL_VOCAB_THRESHOLD, padded_vocab
+from ..models.embedding import SMALL_VOCAB_THRESHOLD, offset_ids, padded_vocab
 from .schedule import hold_cosine_floor
 from .trainer import AucHist, binned_auc_update
 
@@ -438,7 +438,8 @@ def gather_large_rows(schema, batch, tables, large) -> Dict[str, jnp.ndarray]:
     for spec in schema.specs:
         if spec.kind in (SPARSE, ARRAY) and spec.table in large:
             rows[spec.name] = jnp.take(
-                tables[spec.table], batch[spec.name], axis=0).astype(jnp.float32)
+                tables[spec.table], offset_ids(spec, batch[spec.name]),
+                axis=0).astype(jnp.float32)
     return rows
 
 
@@ -453,7 +454,7 @@ def fields_from_rows(schema, batch, rows, small_tbls, large, unpooled=()):
         if spec.kind == DENSE:
             fields.append(batch[spec.name].astype(jnp.float32)[:, None])
             continue
-        ids = batch[spec.name]
+        ids = offset_ids(spec, batch[spec.name])
         if spec.table in large:
             r = rows[spec.name]
         else:  # small table: differentiate the gather directly
@@ -489,16 +490,39 @@ def _joint_dedup(per_table, table_vocab, spare, layout: str = "xla"):
     names = sorted(per_table)
     if not names:
         return {}
-    flat = {}
+    flat, groups = {}, {}
     for tname in names:
         pairs = per_table[tname]
         flat[tname] = (jnp.concatenate([p[0] for p in pairs]),
                        jnp.concatenate([p[1] for p in pairs]))
+        # group entries by their disjoint arena range (3rd tuple element);
+        # entries of unknown provenance (2-tuples) collapse to one group
+        g: Dict = {}
+        for p in pairs:
+            g.setdefault(p[2] if len(p) > 2 else None, []).append(p)
+        groups[tname] = {k: (jnp.concatenate([q[0] for q in ps]),
+                             jnp.concatenate([q[1] for q in ps]))
+                         for k, ps in sorted(g.items(), key=lambda kv: (kv[0] is None, kv[0]))}
     out = {}
     if layout == "xla":
         # small slot counts: per-table sort-free MXU dedup; anything bigger
-        # (array features: B*L slots) stays in the joint sort below
+        # (array features: B*L slots) stays in the joint sort below.
+        # Disjoint-range groups (arena members) dedup INDEPENDENTLY — the
+        # (N,N) equality matmul is quadratic, so two 512-slot group dedups
+        # beat one 1024-slot joint dedup — and concat for a single scatter
+        # (no cross-group duplicates by construction).
         for tname in list(names):
+            grp = groups[tname]
+            sizes = [ids.shape[0] for ids, _ in grp.values()]
+            if (None not in grp and max(sizes) <= MATMUL_DEDUP_MAX
+                    and len(grp) > 1):
+                parts = [_dedup_rows_matmul(ids, g, spare[tname])
+                         for ids, g in grp.values()]
+                out[tname] = (jnp.concatenate([p[0] for p in parts]),
+                              jnp.concatenate([p[1] for p in parts]))
+                names.remove(tname)
+                del flat[tname]
+                continue
             ids, g = flat[tname]
             if ids.shape[0] <= MATMUL_DEDUP_MAX:
                 rows, grads, _ = _dedup_rows_matmul(ids, g, spare[tname])
@@ -655,9 +679,12 @@ def collect_per_table(schema, batch, row_grads, large) -> Dict[str, list]:
             continue
         if spec.name not in row_grads:
             continue
-        ids = batch[spec.name].reshape(-1)
+        ids = offset_ids(spec, batch[spec.name]).reshape(-1)
         g = row_grads[spec.name].reshape(-1, row_grads[spec.name].shape[-1])
-        per_table.setdefault(spec.table, []).append((ids, g))
+        # the id_offset tags the entry's DISJOINT arena range: entries with
+        # different offsets can never share a row, so dedup may run
+        # per-group (cheap at small N) and concat for one scatter
+        per_table.setdefault(spec.table, []).append((ids, g, spec.id_offset))
     return per_table
 
 

@@ -22,7 +22,8 @@ def mind_config(name: str = "dcn", batch_size: int = 512, equal_dims: bool = Fal
                 mesh_data: int = -1, mesh_model: int = 1,
                 param_dtype: str = "float32", compute_dtype: str = "float32",
                 embedding_optimizer: str = "adamw",
-                embedding_update_period: int = 1) -> Config:
+                embedding_update_period: int = 1,
+                arena_tables: bool = False) -> Config:
     emb = {k: 16 for k in MIND_FEATURES} if equal_dims else dict(MIND_EMB_SIZE)
     return config_from_dict({
         "name": name,
@@ -35,6 +36,7 @@ def mind_config(name: str = "dcn", batch_size: int = 512, equal_dims: bool = Fal
         "embeddings": {
             "embedding_size": emb,
             "embedding_table_size": dict(MIND_TABLE_SIZE),
+            "arena_tables": arena_tables,
         },
         "dataset": {"batch_size": batch_size},
         # train_cf_deep.yaml:47-61

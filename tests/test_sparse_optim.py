@@ -495,3 +495,33 @@ def test_dense_adagrad_update_bf16_table():
     scale = np.maximum(np.abs(np.asarray(t_ref32)[touched]), 1e-3)
     assert (diff / scale).max() < 1.0 / 64  # within ~1 bf16 ulp
     assert np.isfinite(np.asarray(a_new)).all()
+
+
+def test_joint_dedup_disjoint_groups_match_joint():
+    """Entries tagged with distinct id offsets (arena members) dedup
+    per-group + concat; the scattered result must equal the joint dedup of
+    the same flattened slots."""
+    from news_recsys_tpu.training.sparse_step import _joint_dedup
+
+    rng = np.random.default_rng(5)
+    d, n1, n2 = 8, 64, 96
+    ids1 = rng.integers(0, 29, n1).astype(np.int32)          # group offset 0
+    ids2 = (rng.integers(0, 25, n2) + 29).astype(np.int32)   # disjoint range
+    ids2[rng.random(n2) < 0.1] = 0                           # padding in group 2
+    g1 = rng.standard_normal((n1, d)).astype(np.float32)
+    g2 = rng.standard_normal((n2, d)).astype(np.float32)
+    table_vocab = {"t": (60, d)}
+    spare = {"t": 63}
+
+    grouped = _joint_dedup(
+        {"t": [(jnp.asarray(ids1), jnp.asarray(g1), 0),
+               (jnp.asarray(ids2), jnp.asarray(g2), 28)]},
+        table_vocab, spare)
+    joint = _joint_dedup(
+        {"t": [(jnp.concatenate([jnp.asarray(ids1), jnp.asarray(ids2)]),
+                jnp.concatenate([jnp.asarray(g1), jnp.asarray(g2)]))]},
+        table_vocab, spare)
+    scat = lambda rows, grads: np.asarray(
+        jnp.zeros((64, d)).at[rows].set(grads))[:60]
+    np.testing.assert_allclose(scat(*grouped["t"]), scat(*joint["t"]),
+                               rtol=1e-5, atol=1e-6)
