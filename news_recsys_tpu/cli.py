@@ -255,6 +255,17 @@ def cmd_itemcf(args):
     print(json.dumps(out))
 
 
+def cmd_convert_ckpt(args):
+    """Convert an ``epoch_*.msgpack`` checkpoint between the per-table and
+    arena embedding layouts (``embeddings.arena_tables``). Checkpoints are
+    layout-bound because packing changes the param tree; this migrates old
+    per-table checkpoints to the (default-on) arena layout and back."""
+    from .training.arena_convert import convert_msgpack
+    cfg = load_config(args.config)
+    convert_msgpack(cfg, args.input, args.output, to_arena=args.to == "arena")
+    print(f"Converted {args.input} -> {args.output} ({args.to} layout)")
+
+
 def cmd_log(args):
     from .utils.log_analysis import format_best_epoch, parse_log
     target = args.target
@@ -353,6 +364,16 @@ def main(argv=None):
                    help="subsample dev positives (0 = all)")
     p.add_argument("--k", default="10,50", help="comma-separated HR cutoffs")
     p.set_defaults(fn=cmd_itemcf)
+
+    p = sub.add_parser("convert-ckpt",
+                       help="convert a checkpoint between per-table and arena "
+                            "embedding layouts")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--input", required=True, help="source epoch_*.msgpack")
+    p.add_argument("--output", required=True, help="destination msgpack")
+    p.add_argument("--to", required=True, choices=["arena", "per-table"],
+                   help="target layout")
+    p.set_defaults(fn=cmd_convert_ckpt)
 
     p = sub.add_parser("log", help="best-epoch report from val_log.log")
     p.add_argument("target", help="log file, experiment dir, or model name")

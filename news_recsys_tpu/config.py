@@ -52,6 +52,14 @@ class EmbeddingsConfig:
     embedding_size: Dict[str, int] = field(default_factory=dict)
     embedding_table_size: Dict[str, int] = field(default_factory=dict)
     share_emb_table_features: Dict[str, str] = field(default_factory=dict)
+    # Embedding init: N(0, init_scale). 1.0 = torch nn.Embedding default
+    # (reference parity). Models that score DIRECTLY from raw embeddings
+    # (LR: sum of dim-1 biases; FM: quadratic form) start deep in sigmoid
+    # saturation under N(0,1) — FM's init logit std is ~15 — and the
+    # saturation escape dominates (or, under rowwise AdaGrad's decaying
+    # step, permanently stalls) training; see artifacts/fm_diagnosis_r05.
+    # configs/{lr,fm}.yaml ship the measured-best 0.01.
+    init_scale: float = 1.0
     # Pack all LARGE tables of the same embedding dim into one physical
     # "arena_d<D>" parameter (logical ids offset per feature, padding id 0
     # shared): halves the per-step scatter/gather op count when several
@@ -239,6 +247,9 @@ def _validate(cfg: Config) -> None:
     ms = cfg.train_hparams.lr_milestones
     if len(ms) != 2:
         raise ValueError("lr_milestones must have exactly 2 entries (hold end, decay end).")
+    if cfg.embeddings.init_scale <= 0:
+        raise ValueError(
+            f"embeddings.init_scale must be > 0, got {cfg.embeddings.init_scale}.")
     for key in ("param_dtype", "compute_dtype"):
         val = getattr(cfg.mesh, key)
         if val not in ("float32", "bfloat16"):
@@ -294,6 +305,10 @@ class FeatureSpec:
     offset: int = 0           # start column in the concatenated feature matrix
     id_offset: int = 0        # arena packing: logical id -> arena row shift
                               # (id 0 stays 0; see arena_layout)
+    member_vocab: int = 0     # arena packing only: the member table's own
+                              # LOGICAL vocab — ids outside [1, member_vocab)
+                              # clamp to padding so a corrupt id can never
+                              # land in another member's row range
 
 
 @dataclass(frozen=True)
@@ -365,8 +380,10 @@ def build_schema(cfg: Config, names=None) -> FeatureSchema:
         elif name in sparse or name in array:
             table = emb.share_emb_table_features.get(name, name)
             phys, id_off, vocab = table, 0, int(emb.embedding_table_size[table])
+            member_vocab = 0
             packed = arena_layout(cfg).get(table)
             if packed is not None:
+                member_vocab = vocab          # logical bound for id clamping
                 phys, id_off, vocab = packed
             specs.append(
                 FeatureSpec(
@@ -377,6 +394,7 @@ def build_schema(cfg: Config, names=None) -> FeatureSchema:
                     vocab=vocab,
                     max_length=int(f.array_max_length.get(name, 0)),
                     id_offset=id_off,
+                    member_vocab=member_vocab,
                 )
             )
         else:

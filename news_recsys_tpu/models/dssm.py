@@ -48,9 +48,11 @@ class DSSM(nn.Module):
     tables: Tuple[Tuple[str, Tuple[int, int]], ...]
     user_schema: FeatureSchema
     item_schema: FeatureSchema
+    emb_init_scale: float = 1.0
 
     def setup(self):
-        self.embedder = EmbeddingCollection(tables=self.tables)
+        self.embedder = EmbeddingCollection(tables=self.tables,
+                                            init_scale=self.emb_init_scale)
         self.user_fc = Tower()
         self.item_fc = Tower()
 
@@ -78,6 +80,7 @@ def build_dssm(cfg: Config) -> DSSM:
         tables=tables,
         user_schema=build_schema(cfg, sorted(cfg.features.user_feature_names)),
         item_schema=build_schema(cfg, sorted(cfg.features.item_feature_names)),
+        emb_init_scale=cfg.embeddings.init_scale,
     )
 
 

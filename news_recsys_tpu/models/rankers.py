@@ -53,6 +53,8 @@ class RankerBase(nn.Module):
     # storage dtype and tower matmul dtype ("float32" | "bfloat16").
     table_dtype: str = "float32"
     compute_dtype: str = "float32"
+    # embeddings.init_scale: N(0, scale) table init (1.0 = torch default)
+    emb_init_scale: float = 1.0
 
     @property
     def tower_dtype(self):
@@ -60,7 +62,8 @@ class RankerBase(nn.Module):
 
     def setup(self):
         self.embedder = EmbeddingCollection(tables=self.tables,
-                                            table_dtype=self.table_dtype)
+                                            table_dtype=self.table_dtype,
+                                            init_scale=self.emb_init_scale)
         self._setup_tower()
 
     def _setup_tower(self):
@@ -219,7 +222,9 @@ def build_ranker(cfg: Config, name: str | None = None) -> RankerBase:
     name = name or cfg.name
     tables = tuple(sorted(table_specs(cfg).items()))
     schema = build_schema(cfg)
-    dtypes = dict(table_dtype=cfg.mesh.param_dtype, compute_dtype=cfg.mesh.compute_dtype)
+    dtypes = dict(table_dtype=cfg.mesh.param_dtype,
+                  compute_dtype=cfg.mesh.compute_dtype,
+                  emb_init_scale=cfg.embeddings.init_scale)
     if name == "lr":
         return LRRanker(tables=tables, schema=schema, **dtypes)
     if name == "deep":

@@ -113,6 +113,7 @@ def build_attention_ranker(cfg: Config) -> AttentionSeqRanker:
         unpooled_arrays=(hist_feature,),
         table_dtype=cfg.mesh.param_dtype,
         compute_dtype=cfg.mesh.compute_dtype,
+        emb_init_scale=cfg.embeddings.init_scale,
         hist_feature=hist_feature,
         hist_table=hist_table,
         num_layers=int(acfg.get("num_layers", 1)),

@@ -48,7 +48,8 @@ import jax.numpy as jnp
 import optax
 
 from ..config import ARRAY, DENSE, SPARSE, Config
-from ..models.embedding import SMALL_VOCAB_THRESHOLD, offset_ids, padded_vocab
+from ..models.embedding import (GATHER_MERGE_MAX_SLOTS, SMALL_VOCAB_THRESHOLD,
+                                offset_ids, padded_vocab)
 from .schedule import hold_cosine_floor
 from .trainer import AucHist, binned_auc_update
 
@@ -433,13 +434,41 @@ def sparse_state_shardings(state: SparseTrainState, mesh):
 
 def gather_large_rows(schema, batch, tables, large) -> Dict[str, jnp.ndarray]:
     """Per-feature gathered LARGE-table rows (outside differentiation);
-    bf16-stored rows upcast right after the gather."""
-    rows = {}
+    bf16-stored rows upcast right after the gather.
+
+    Features sharing one PHYSICAL table — share-aliased (``hist``+``item_id``
+    on the item table) or arena members (``embeddings.arena_tables``) — are
+    gathered with ONE ``jnp.take`` over their concatenated flat ids and
+    split back per feature: a TPU gather carries ~10 us of fixed
+    dispatch/setup cost on top of its row traffic
+    (artifacts/scatter_ncurve_r04.json), so merging per-feature gathers is
+    pure fixed-cost elimination on the hot path (the reference gathers one
+    table per feature, ``base_model.py:284-308``)."""
+    by_table: Dict[str, list] = {}
     for spec in schema.specs:
         if spec.kind in (SPARSE, ARRAY) and spec.table in large:
-            rows[spec.name] = jnp.take(
-                tables[spec.table], offset_ids(spec, batch[spec.name]),
-                axis=0).astype(jnp.float32)
+            by_table.setdefault(spec.table, []).append(spec)
+    rows = {}
+    for tname, specs in by_table.items():
+        flat = [offset_ids(s, batch[s.name]).reshape(-1) for s in specs]
+        if len(specs) == 1 or sum(x.shape[0] for x in flat) > GATHER_MERGE_MAX_SLOTS:
+            # single feature, or too many slots for the merge to pay
+            # (GATHER_MERGE_MAX_SLOTS: above it the gather is row-traffic
+            # bound and the concat/split copies cost more than the one
+            # saved fixed cost — measured on the attention ranker)
+            for s in specs:
+                rows[s.name] = jnp.take(
+                    tables[tname], offset_ids(s, batch[s.name]),
+                    axis=0).astype(jnp.float32)
+            continue
+        joint = jnp.take(tables[tname], jnp.concatenate(flat),
+                         axis=0).astype(jnp.float32)
+        off = 0
+        for s, ids in zip(specs, flat):
+            n = ids.shape[0]
+            rows[s.name] = joint[off:off + n].reshape(
+                batch[s.name].shape + (joint.shape[-1],))
+            off += n
     return rows
 
 
@@ -533,8 +562,10 @@ def _joint_dedup(per_table, table_vocab, spare, layout: str = "xla"):
             return out
     if len(names) == 1:
         t = names[0]
+        # max_id = vocab - 1 (largest REAL id): matches the dense route's
+        # bound so both update routes drop id == vocab identically
         rows, grads, _ = _dedup_rows(*flat[t], spare[t], layout=layout,
-                                     max_id=int(table_vocab[t][0]))
+                                     max_id=int(table_vocab[t][0]) - 1)
         out[t] = (rows, grads)
         return out
     dmax = max(g.shape[-1] for _, g in flat.values())
@@ -730,25 +761,32 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
                     jnp.concatenate([p[1] for p in pairs]))
                 for t, pairs in per_table.items()}
 
-    def _pending_update(tables, emb_mu, emb_nu, pend, step, lr_t):
+    def _pending_update(tables, emb_mu, emb_nu, pend, applies, lr_t):
         """Apply ONE combined update from the pending (K, S) buffers; slots
         with valid=False route their ids to 0 (padding) and are dropped by
-        the dedup. The optimizer step passed down is the EMBEDDING-APPLY
-        count (step // K), not the global step: sparse_adamw's bias
+        the dedup. The optimizer step passed down is ``applies`` — an
+        explicit APPLY counter carried in the scan (incremented once per
+        non-empty apply), not the global step: sparse_adamw's bias
         correction (1 - b^t) must count applied moment updates — mu/nu
-        advance once per K steps. lr is sampled at the apply step (part of
+        advance once per apply — so the first apply gets t = 1 and chunk-tail
+        flushes never reuse the previous group's t (or its bf16
+        stochastic-rounding key). lr is sampled at the apply step (part of
         the documented K>1 staleness contract, like the K-step-stale rows)."""
         pids, pg, valid = pend
         per_t = {t: [(jnp.where(valid[:, None], pids[t], 0).reshape(-1),
                       pg[t].reshape(-1, table_dim[t]))]
                  for t in pids}
-        return table_update(tables, emb_mu, emb_nu, per_t, step // K, lr_t)
+        return table_update(tables, emb_mu, emb_nu, per_t, applies, lr_t)
 
-    def _pending_zeros():
+    def _pending_zeros(step):
+        # the apply counter resumes from step // K at chunk entry — exact
+        # when prior chunks were apply-aligned (the common case: chunk_steps
+        # is a multiple of K), and within one count otherwise
         return ({t: jnp.zeros((K, s), jnp.int32) for t, s in slot_sizes.items()},
                 {t: jnp.zeros((K, s, table_dim[t]), jnp.float32)
                  for t, s in slot_sizes.items()},
-                jnp.zeros((K,), bool))
+                jnp.zeros((K,), bool),
+                step // K)
 
     def run(state: SparseTrainState, hist: AucHist, int_mat, float_mat, idx_chunk):
         ones = jnp.ones(batch_size, jnp.float32)
@@ -803,12 +841,12 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
                 # OUTER scan body (straight-line, once per K steps) — a
                 # lax.cond here would copy the table operands every step and
                 # cost more than the scatter pass it skips (measured)
-                pids, pg, valid = carry_pend
+                pids, pg, valid, applies = carry_pend
                 flat = _flatten_per_table(per_table)
                 slot = jnp.mod(state.step, K)
                 pids = {t: pids[t].at[slot].set(ids) for t, (ids, _) in flat.items()}
                 pg = {t: pg[t].at[slot].set(g) for t, (_, g) in flat.items()}
-                pend = (pids, pg, valid.at[slot].set(True))
+                pend = (pids, pg, valid.at[slot].set(True), applies)
                 new_tables = {**tables, **small}
 
             params = {"params": {**dense, "embedder": new_tables}}
@@ -823,19 +861,21 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
         def apply_pending(carry):
             """Straight-line combined update + pending reset (valid only —
             the id/grad buffers are fully overwritten before the next
-            apply)."""
+            apply). The apply counter advances only when something was
+            pending, so a no-pending flush is the exact identity."""
             state, hist, pend = carry
+            pids, pg, valid, applies = pend
             inner = state.params["params"]
             tables = inner["embedder"]
             new_tables, new_mu, new_nu = _pending_update(
-                tables, state.emb_mu, state.emb_nu, pend,
-                state.step, sched(state.step))
+                tables, state.emb_mu, state.emb_nu, (pids, pg, valid),
+                applies, sched(state.step))
             new_tables.update({k: v for k, v in tables.items() if k not in large})
             params = {"params": {**{k: v for k, v in inner.items() if k != "embedder"},
                                  "embedder": new_tables}}
             state = state.replace(params=params, emb_mu=new_mu, emb_nu=new_nu)
-            pids, pg, valid = pend
-            return state, hist, (pids, pg, jnp.zeros_like(valid))
+            applies = applies + jnp.any(valid).astype(applies.dtype)
+            return state, hist, (pids, pg, jnp.zeros_like(valid), applies)
 
         if K == 1:
             (state, hist, _), losses = jax.lax.scan(
@@ -844,7 +884,7 @@ def make_sparse_chunk_fn(model, layout_key, batch_size: int, cfg: Config, mesh=N
 
         n_steps = idx_chunk.shape[0]
         groups, tail = divmod(n_steps, K)
-        carry = (state, hist, _pending_zeros())
+        carry = (state, hist, _pending_zeros(state.step))
         last_loss = jnp.float32(0)
         if groups:
             def outer_body(carry, idx_group):       # idx_group: (K, B)

@@ -168,3 +168,54 @@ def test_arena_with_model_parallel_mesh(tmp_path):
     state = tr.fit(ds, max_epochs=1)
     preds = tr.predict(state.params, ds)
     assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_arena_oob_id_clamps_to_padding(tmp_path):
+    """A corrupt logical id >= the member's OWN vocab must clamp to padding:
+    forward reads zeros, and a training step never writes another member's
+    rows. (Pre-arena, per-table bounds confined OOB ids to the feature's
+    own table.)"""
+    cfg = make_cfg(True)
+    model = build_ranker(cfg, "deep")
+    ds = make_ds(64)
+    batch = {k: jnp.asarray(v[:64]) for k, v in ds.arrays.items()}
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    # forward: item_id at its own vocab bound (4300) would land at
+    # user rows without the clamp; it must equal the padding-id forward
+    bad = dict(batch)
+    bad["item_id"] = batch["item_id"].at[0].set(VOCABS["item_id"])
+    pad = dict(batch)
+    pad["item_id"] = batch["item_id"].at[0].set(0)
+    np.testing.assert_allclose(np.asarray(model.apply(params, bad)),
+                               np.asarray(model.apply(params, pad)),
+                               rtol=1e-6, atol=1e-6)
+
+    # training: one epoch whose item ids are ALL out of range; the other
+    # member's (user_id) arena rows that no user id touches must stay
+    # bit-identical, and no NaNs appear
+    from news_recsys_tpu.config import arena_layout as _al
+    layout = _al(cfg)
+    aname, uoff, _ = layout["user_id"]
+    rng = np.random.default_rng(3)
+    n = 128
+    users = rng.integers(1, 100, n).astype(np.int32)     # touch rows uoff+1..uoff+99
+    items = np.full(n, VOCABS["item_id"] + 5, np.int32)  # every item id corrupt
+    ds_bad = PackedDataset({
+        "user_id": users, "item_id": items,
+        "category": (users % 19 + 1).astype(np.int32),
+        "label": (users % 2).astype(np.float32).reshape(-1, 1)})
+    tr = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    state = tr.init_state(ds_bad.take(np.arange(64)))
+    a0 = np.asarray(state.params["params"]["embedder"][aname]).copy()
+    state = tr.fit(ds_bad, max_epochs=1, state=state)
+    a1 = np.asarray(state.params["params"]["embedder"][aname])
+    ioff = layout["item_id"][1]
+    ivocab = VOCABS["item_id"]
+    # the item member's whole real-row range untouched (its ids were corrupt)
+    np.testing.assert_array_equal(a1[ioff + 1: ioff + ivocab],
+                                  a0[ioff + 1: ioff + ivocab])
+    # user rows above 100 untouched
+    np.testing.assert_array_equal(a1[uoff + 100: uoff + VOCABS["user_id"]],
+                                  a0[uoff + 100: uoff + VOCABS["user_id"]])
+    assert np.isfinite(a1).all()

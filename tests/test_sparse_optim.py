@@ -525,3 +525,47 @@ def test_joint_dedup_disjoint_groups_match_joint():
         jnp.zeros((64, d)).at[rows].set(grads))[:60]
     np.testing.assert_allclose(scat(*grouped["t"]), scat(*joint["t"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_lazy_writeback_first_apply_bias_correction(tmp_path):
+    """sparse_adamw with K>1: the first combined apply must use Adam
+    bias-correction t=1 (an explicit apply counter), not t=2 derived from
+    the already-advanced global step. Verified against a closed-form
+    expectation on an LR model whose only params are one embedding table."""
+    from scipy.special import expit
+
+    cfg = config_from_dict({
+        "name": "lr",
+        "features": {"sparse_feature_names": ["user_id"],
+                     "item_feature_names": [],
+                     "user_feature_names": ["user_id"]},
+        "embeddings": {"embedding_size": {"user_id": 1},
+                       "embedding_table_size": {"user_id": 5000}},
+        "dataset": {"batch_size": 4},
+        "train_hparams": {"max_epoch": 1, "lr": 1e-2, "min_lr": 1e-3,
+                          "lr_milestones": [200, 600], "max_step": 100000,
+                          "embedding_optimizer": "sparse_adamw",
+                          "embedding_update_period": 2},
+    })
+    ids = np.arange(1, 9, dtype=np.int32)          # 8 distinct ids, 2 batches
+    labels = (ids % 2).astype(np.float32)
+    ds = PackedDataset({"user_id": ids, "label": labels.reshape(-1, 1)})
+    model = build_ranker(cfg, "lr")
+    tr = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    sample = next(iter([ds.take(np.arange(4))]))
+    state = tr.init_state(sample)
+    p0 = np.asarray(state.params["params"]["embedder"]["user_id"])[:, 0].copy()
+    state = tr.fit(ds, max_epochs=1, state=state)
+    p1 = np.asarray(state.params["params"]["embedder"]["user_id"])[:, 0]
+
+    # each id appears exactly once across the two buffered steps; rows are
+    # read K-1 steps stale, so every grad is computed at p0:
+    #   g = (sigmoid(p0) - y) / batch_size
+    # one Adam apply with t=1: mhat = g, vhat = g^2
+    hp = cfg.train_hparams
+    g = (expit(p0[ids]) - labels) / 4.0
+    delta = hp.lr * (g / (np.abs(g) + 1e-8) + hp.weight_decay * p0[ids])
+    np.testing.assert_allclose(p1[ids], p0[ids] - delta, rtol=1e-5, atol=1e-7)
+    # untouched real rows unchanged
+    untouched = np.setdiff1d(np.arange(1, 5000), ids)
+    np.testing.assert_array_equal(p1[untouched], p0[untouched])
