@@ -50,6 +50,13 @@ clean:
 	@echo "Cleaning tmp outputs..."
 	@rm -rf tmp
 
+# Turnkey real-MIND parity: download (or --data/--synth) -> checksums ->
+# preprocess/fe -> train deep+dcn+attention on the reference recipe -> the
+# reference README scoreboard table. See scripts/mind_parity.py.
+.PHONY: mind-parity
+mind-parity:
+	python scripts/mind_parity.py --workdir /tmp/mind_parity --out artifacts/mind_parity.json
+
 .PHONY: serving-bench
 serving-bench:
 	python scripts/serving_bench.py --json artifacts/serving_bench.json

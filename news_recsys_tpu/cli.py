@@ -83,6 +83,23 @@ def _train_dssm(cfg: Config, args, train_ds):
     # DSSM/model.py:230-254) and written to val_log.log
     item_ds = PackedDataset.open_split(cfg, "item")
     dev_ds = PackedDataset.open_split(cfg, "dev")
+
+    # dssm_cfg.hist_augment: self-supervised leave-one-out history pairs —
+    # the co-click signal ItemCF consumes, as extra InfoNCE positives
+    # (data/hist_pairs.py). Implies training on click positives only (the
+    # loss masks label-0 rows anyway; dropping them shrinks the epoch ~10x).
+    dcfg = cfg.extra("dssm_cfg", {}) or {}
+    if dcfg.get("hist_augment", False) or dcfg.get("train_on", "all") == "positives":
+        from .data.hist_pairs import (concat_datasets, hist_augmented_pairs,
+                                      positives_only)
+        base = positives_only(train_ds)
+        logger.info(f"DSSM train set: {len(base)} click positives "
+                    f"(of {len(train_ds)} exploded rows)")
+        if dcfg.get("hist_augment", False):
+            aug = hist_augmented_pairs(cfg, train_ds, item_ds)
+            base = concat_datasets(base, aug)
+            logger.info(f"DSSM train set: +{len(aug)} leave-one-out history pairs")
+        train_ds = base
     pos = dev_ds.arrays["label"][:, 0] == 1
     query = PackedDataset({k: v[pos] for k, v in dev_ds.arrays.items()})
     histories = _dev_histories(cfg, pos)
@@ -105,15 +122,92 @@ def _train_dssm(cfg: Config, args, train_ds):
     print(f"Serving bundle: {bundle}")
 
 
+def _resolve_ckpt(ckpt: str) -> str:
+    import glob as _glob
+    if os.path.isdir(ckpt):  # experiment dir: newest per-epoch checkpoint
+        cands = sorted(_glob.glob(os.path.join(ckpt, "ckpts", "epoch_*.msgpack"))
+                       or _glob.glob(os.path.join(ckpt, "epoch_*.msgpack")))
+        if not cands:
+            raise FileNotFoundError(f"No epoch_*.msgpack under {ckpt}")
+        return cands[-1]
+    return ckpt
+
+
+def _row_decoder(cfg: Config, ds, decode: bool):
+    """(row-index -> feature dict) with optional FeatureIdMapper decode."""
+    import numpy as np
+
+    mapper = None
+    if decode:
+        from .utils.feature_id_mapper import FeatureIdMapper
+        mapper = FeatureIdMapper.from_dir(
+            os.path.join(cfg.paths.out_basedir, "extractored_feature"))
+    feat_names = [k for k in ds.arrays
+                  if k != "label" and not k.endswith("_mask")]
+
+    def row(i):
+        out = {}
+        for k in feat_names:
+            v = ds.arrays[k][i]
+            val = v.tolist() if getattr(v, "ndim", 0) else (
+                float(v) if isinstance(v, (np.floating, float)) else int(v))
+            if mapper is not None and np.ndim(v) == 0:
+                raw = mapper.get_real_val(k, int(v))
+                if raw is not None:
+                    val = raw
+            out[k] = val
+        out["label"] = ds.arrays["label"][i].tolist()
+        return out
+
+    return row
+
+
+def _predict_dssm(cfg: Config, args, ds):
+    """DSSM inference surface: per-row L2-normalized user/item tower
+    embeddings + their cosine pair score (the reference declares
+    ``inference`` abstract on BaseModel, ``base_model.py:313-317``, but
+    ships no retrieval predict entry point)."""
+    import tempfile
+
+    import numpy as np
+
+    from .models.dssm import build_dssm
+    from .training.retrieval import DSSMTrainer
+
+    model = build_dssm(cfg)
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = DSSMTrainer(cfg, model, workdir=tmp, use_mesh=not args.no_mesh)
+        bs = cfg.dataset.batch_size
+        sample = ds.take(np.arange(min(bs, len(ds))) % len(ds))
+        state = trainer.init_state(sample)
+        state = trainer.load_params(state, _resolve_ckpt(args.checkpoint))
+        u = trainer.encode_users(state.params, ds)       # (N, D) L2-normalized
+        i = np.asarray(trainer._encode(state.params, ds, trainer.encode_item))
+        i = i / np.maximum(np.linalg.norm(i, axis=1, keepdims=True), 1e-12)
+    scores = (u * i).sum(axis=1)
+
+    row = _row_decoder(cfg, ds, args.decode)
+    out_path = args.output or "predictions.jsonl"
+    with open(out_path, "w") as f:
+        for k in range(len(ds)):
+            rec = row(k)
+            rec["user_embedding"] = [round(float(x), 6) for x in u[k]]
+            rec["item_embedding"] = [round(float(x), 6) for x in i[k]]
+            rec["score"] = float(scores[k])
+            f.write(json.dumps(rec) + "\n")
+    print(f"Wrote {len(ds)} scored rows (user/item embeddings + cosine) -> {out_path}")
+
+
 def cmd_predict(args):
-    """Score a feature file with a trained ranker checkpoint.
+    """Score a feature file with a trained checkpoint.
 
     The reference declares this surface on BaseModel (abstract ``inference``
     + FeatureIdMapper loaded at setup for decode, ``base_model.py:199-207,
     313-317``) but ships no entry point; here it is a CLI: checkpoint +
     split/npz -> per-row scores (jsonl), with optional raw-value decode.
+    Rankers emit sigmoid scores; ``-m dssm`` emits user/item tower
+    embeddings + cosine pair scores.
     """
-    import glob as _glob
     import tempfile
 
     import numpy as np
@@ -127,14 +221,11 @@ def cmd_predict(args):
     ds = (PackedDataset.load(args.input) if args.input
           else PackedDataset.open_split(cfg, args.split))
 
-    ckpt = args.checkpoint
-    if os.path.isdir(ckpt):  # experiment dir: newest per-epoch checkpoint
-        cands = sorted(_glob.glob(os.path.join(ckpt, "ckpts", "epoch_*.msgpack"))
-                       or _glob.glob(os.path.join(ckpt, "epoch_*.msgpack")))
-        if not cands:
-            raise FileNotFoundError(f"No epoch_*.msgpack under {ckpt}")
-        ckpt = cands[-1]
+    if name == "dssm":
+        _predict_dssm(cfg, args, ds)
+        return
 
+    ckpt = _resolve_ckpt(args.checkpoint)
     model = build_ranker(cfg, name)
     with tempfile.TemporaryDirectory() as tmp:
         trainer = Trainer(cfg, model, workdir=tmp, use_mesh=not args.no_mesh)
@@ -148,30 +239,13 @@ def cmd_predict(args):
         state = trainer.load_checkpoint(state, ckpt)
         scores = trainer.predict(state.params, ds)
 
-    mapper = None
-    if args.decode:
-        from .utils.feature_id_mapper import FeatureIdMapper
-        mapper = FeatureIdMapper.from_dir(
-            os.path.join(cfg.paths.out_basedir, "extractored_feature"))
-
-    feat_names = [k for k in ds.arrays
-                  if k != "label" and not k.endswith("_mask")]
+    row = _row_decoder(cfg, ds, args.decode)
     out_path = args.output or "predictions.jsonl"
     with open(out_path, "w") as f:
         for i in range(len(ds)):
-            row = {}
-            for k in feat_names:
-                v = ds.arrays[k][i]
-                val = v.tolist() if getattr(v, "ndim", 0) else (
-                    float(v) if isinstance(v, (np.floating, float)) else int(v))
-                if mapper is not None and np.ndim(v) == 0:
-                    raw = mapper.get_real_val(k, int(v))
-                    if raw is not None:
-                        val = raw
-                row[k] = val
-            row["label"] = ds.arrays["label"][i].tolist()
-            row["score"] = float(scores[i])
-            f.write(json.dumps(row) + "\n")
+            rec = row(i)
+            rec["score"] = float(scores[i])
+            f.write(json.dumps(rec) + "\n")
     print(f"Wrote {len(ds)} scored rows -> {out_path}")
 
 

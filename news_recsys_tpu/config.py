@@ -422,13 +422,25 @@ def arena_layout(cfg: Config) -> Dict[str, Tuple[str, int, int]]:
     (sorted by name) occupies rows ``[off_i + 1, off_i + vocab_i)`` with
     ``off_i = sum(vocab_j - 1 for j < i)``, so the logical->arena mapping
     is ``id + off_i`` for real ids and identity for padding.
+
+    Tables backing ARRAY features are excluded from packing: their B*L
+    touched slots put the table on the dense full-table update route
+    (``sparse_step.dense_rowwise_adagrad_update``), whose cost scales with
+    the PACKED vocab — measured 2.3x slower end-to-end on the attention
+    ranker when its 65k item table (hist) packed with the 94k user table
+    (artifacts/arena_attention_ab_r05.json). This makes
+    ``arena_tables: true`` safe as a global default: pure-sparse configs
+    get the +5% scatter merge, sequence configs are untouched.
     """
     if not cfg.embeddings.arena_tables:
         return {}
     logical = _logical_table_specs(cfg)
+    emb = cfg.embeddings
+    array_tables = {emb.share_emb_table_features.get(f, f)
+                    for f in cfg.features.array_feature_names}
     by_dim: Dict[int, List[str]] = {}
     for name, (vocab, dim) in sorted(logical.items()):
-        if vocab >= ARENA_MIN_VOCAB:
+        if vocab >= ARENA_MIN_VOCAB and name not in array_tables:
             by_dim.setdefault(dim, []).append(name)
     out: Dict[str, Tuple[str, int, int]] = {}
     for dim, members in by_dim.items():

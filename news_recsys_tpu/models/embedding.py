@@ -45,16 +45,6 @@ def offset_ids(spec, ids):
 
 VOCAB_PAD_MULTIPLE = 128
 
-# Max combined flat ids for merging same-table gathers into one take.
-# A TPU gather costs ~10 us fixed + ~4 ns/row (artifacts/
-# scatter_ncurve_r04.json, attention_step_r04.json), so merging pays at
-# small slot counts (DCN's user+item arena: 2x512 -> one 1024-row take)
-# but LOSES above a few thousand rows where the concat + split copies of
-# an already-materialized (N, D) gather output outweigh the one saved
-# fixed cost (measured -3.6% e2e on the attention ranker's 15.9k-slot
-# hist+item merge, artifacts/arena_ab_r05.json).
-GATHER_MERGE_MAX_SLOTS = 4096
-
 # Tables with vocab below this always stay float32 (and, on the sparse
 # optimizer path, use exact dense AdamW): their full-table HBM traffic is
 # trivial, so low-precision storage buys nothing and costs accuracy.
@@ -175,46 +165,6 @@ class EmbeddingCollection(nn.Module):
 
     # -- batch-level contract ----------------------------------------------
 
-    def _merged_lookups(self, batch, schema: FeatureSchema, unpooled):
-        """Zero-masked embeddings for features sharing a PHYSICAL table,
-        gathered with ONE ``jnp.take`` per table (concat flat ids -> take ->
-        split): each TPU gather carries ~10 us fixed cost, so share-aliased
-        features (``hist``+``item_id``) and arena members pay it once.
-
-        Only plain-take lookups merge — skipped under an active
-        explicit-collectives mesh (lookups go through shard_map) and for
-        array features routed to the Pallas fused pool. Returns
-        {feature: emb} for merged features; others fall through to
-        :meth:`lookup`."""
-        from ..parallel.sharded_embedding import active_mesh
-        if active_mesh() is not None:
-            return {}
-        by_table: Dict[str, list] = {}
-        for spec in schema.specs:
-            if spec.kind == SPARSE or (
-                    spec.kind == ARRAY
-                    and (spec.name in unpooled
-                         or not self._use_fused_pool(self._tables[spec.table]))):
-                by_table.setdefault(spec.table, []).append(spec)
-        out = {}
-        for tname, specs in by_table.items():
-            if len(specs) < 2:
-                continue
-            flat = [offset_ids(s, batch[s.name]).reshape(-1) for s in specs]
-            if sum(x.shape[0] for x in flat) > GATHER_MERGE_MAX_SLOTS:
-                continue
-            joint = jnp.take(self._tables[tname], jnp.concatenate(flat),
-                             axis=0).astype(jnp.float32)
-            off = 0
-            for s, ids in zip(specs, flat):
-                n = ids.shape[0]
-                emb = joint[off:off + n].reshape(
-                    batch[s.name].shape + (joint.shape[-1],))
-                mask_shape = ids.reshape(batch[s.name].shape)
-                out[s.name] = emb * (mask_shape != 0).astype(emb.dtype)[..., None]
-                off += n
-        return out
-
     def embed_fields(self, batch: Dict[str, jnp.ndarray], schema: FeatureSchema,
                      unpooled=()):
         """Per-field embeddings in schema (sorted-name) order: list of (B, d_f).
@@ -222,10 +172,14 @@ class EmbeddingCollection(nn.Module):
         Dense features contribute their raw value as one column
         (``base_model.py:262-265``). Array features in ``unpooled`` return
         their raw (B, L, D) sequence instead of the masked mean (sequence
-        models pool them themselves). Features sharing a physical table are
-        gathered jointly (:meth:`_merged_lookups`).
+        models pool them themselves).
+
+        Lookups stay one take PER FEATURE: merging same-table gathers
+        (concat ids -> one take -> split) was measured a net loss at both
+        small and large slot counts (artifacts/arena_step_ab_r05.json,
+        arena_ab_r05.json — the split copies cost more than the saved
+        gather fixed cost).
         """
-        merged = self._merged_lookups(batch, schema, unpooled)
         parts = []
         for spec in schema.specs:
             val = batch[spec.name]
@@ -239,19 +193,16 @@ class EmbeddingCollection(nn.Module):
                         f"Sparse feature '{spec.name}' has {val.ndim}-D input "
                         f"{val.shape}; sequence features must be declared in "
                         "features.array_feature_names (with array_max_length).")
-                parts.append(merged[spec.name] if spec.name in merged
-                             else self.lookup(spec.table, val))
+                parts.append(self.lookup(spec.table, val))
             elif spec.kind == ARRAY:
-                emb = merged.get(spec.name)
                 if spec.name in unpooled:
-                    parts.append(emb if emb is not None
-                                 else self.lookup(spec.table, val))  # (B, L, D)
+                    parts.append(self.lookup(spec.table, val))   # (B, L, D)
                     continue
                 mask = batch.get(f"{spec.name}_mask")
                 if mask is None:
                     mask = (val != 0)
                 table = self._tables[spec.table]
-                if emb is None and self._use_fused_pool(table):
+                if self._use_fused_pool(table):
                     # Pallas fused gather+masked-mean (NRT_PALLAS gate):
                     # streams table rows HBM->VMEM and writes only the
                     # (B, D) pooled result — the (B, L, D) gathered
@@ -261,9 +212,7 @@ class EmbeddingCollection(nn.Module):
                     from ..ops.fused_lookup_pool import fused_lookup_pool
                     parts.append(fused_lookup_pool(table, val, mask))
                     continue
-                if emb is None:
-                    emb = self.lookup(spec.table, val)
-                parts.append(self.pool(emb, mask))
+                parts.append(self.pool(self.lookup(spec.table, val), mask))
             else:
                 raise ValueError(spec.kind)
         return parts

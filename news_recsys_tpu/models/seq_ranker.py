@@ -35,14 +35,15 @@ from .rankers import DEFAULT_HIDDEN, RankerBase
 
 class AttentionSeqRanker(RankerBase):
     hist_feature: str = "hist"
-    hist_table: str = "item_id"
     num_layers: int = 1
     num_heads: int = 2
     ff_dim: int = 64
     hidden: Sequence[int] = DEFAULT_HIDDEN
 
     def _setup_tower(self):
-        dim = dict(self.tables)[self.hist_table][1]
+        # the schema spec survives table renames (share-aliasing, arena
+        # packing); resolving the dim via the raw table name does not
+        dim = self.schema[self.hist_feature].dim
         self.blocks = [
             TransformerBlock(embed_dim=dim, num_heads=self.num_heads, ff_dim=self.ff_dim)
             for _ in range(self.num_layers)
@@ -106,7 +107,6 @@ def build_attention_ranker(cfg: Config) -> AttentionSeqRanker:
             f"attention ranker needs '{hist_feature}' in user/item feature names")
     if "item_id" not in rank_names:
         raise ValueError("attention ranker needs 'item_id' for target-aware pooling")
-    hist_table = cfg.embeddings.share_emb_table_features.get(hist_feature, hist_feature)
     return AttentionSeqRanker(
         tables=tables,
         schema=build_schema(cfg, rank_names),
@@ -115,7 +115,6 @@ def build_attention_ranker(cfg: Config) -> AttentionSeqRanker:
         compute_dtype=cfg.mesh.compute_dtype,
         emb_init_scale=cfg.embeddings.init_scale,
         hist_feature=hist_feature,
-        hist_table=hist_table,
         num_layers=int(acfg.get("num_layers", 1)),
         num_heads=int(acfg.get("num_heads", 2)),
         ff_dim=int(acfg.get("ff_dim", 64)),

@@ -48,8 +48,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import ARRAY, DENSE, SPARSE, Config
-from ..models.embedding import (GATHER_MERGE_MAX_SLOTS, SMALL_VOCAB_THRESHOLD,
-                                offset_ids, padded_vocab)
+from ..models.embedding import SMALL_VOCAB_THRESHOLD, offset_ids, padded_vocab
 from .schedule import hold_cosine_floor
 from .trainer import AucHist, binned_auc_update
 
@@ -436,39 +435,22 @@ def gather_large_rows(schema, batch, tables, large) -> Dict[str, jnp.ndarray]:
     """Per-feature gathered LARGE-table rows (outside differentiation);
     bf16-stored rows upcast right after the gather.
 
-    Features sharing one PHYSICAL table — share-aliased (``hist``+``item_id``
-    on the item table) or arena members (``embeddings.arena_tables``) — are
-    gathered with ONE ``jnp.take`` over their concatenated flat ids and
-    split back per feature: a TPU gather carries ~10 us of fixed
-    dispatch/setup cost on top of its row traffic
-    (artifacts/scatter_ncurve_r04.json), so merging per-feature gathers is
-    pure fixed-cost elimination on the hot path (the reference gathers one
-    table per feature, ``base_model.py:284-308``)."""
-    by_table: Dict[str, list] = {}
+    Deliberately one take PER FEATURE, even for features sharing a physical
+    table (share-aliased ``hist``+``item_id``, arena members): merging them
+    into one take over concatenated ids was built and measured TWICE and
+    lost both times — -4.6 us/step on DCN's 2x512-slot arena (the concat +
+    split copies of the materialized gather output cost more than the one
+    saved ~10 us gather fixed cost; artifacts/arena_step_ab_r05.json,
+    min-of-8 interleaved scans) and -3.6% e2e at the attention ranker's
+    15.9k slots where the gather is row-traffic-bound
+    (artifacts/arena_ab_r05.json). Arena packing's win is the SCATTER
+    side (grouped dedup + single update scatter), not the gathers."""
+    rows = {}
     for spec in schema.specs:
         if spec.kind in (SPARSE, ARRAY) and spec.table in large:
-            by_table.setdefault(spec.table, []).append(spec)
-    rows = {}
-    for tname, specs in by_table.items():
-        flat = [offset_ids(s, batch[s.name]).reshape(-1) for s in specs]
-        if len(specs) == 1 or sum(x.shape[0] for x in flat) > GATHER_MERGE_MAX_SLOTS:
-            # single feature, or too many slots for the merge to pay
-            # (GATHER_MERGE_MAX_SLOTS: above it the gather is row-traffic
-            # bound and the concat/split copies cost more than the one
-            # saved fixed cost — measured on the attention ranker)
-            for s in specs:
-                rows[s.name] = jnp.take(
-                    tables[tname], offset_ids(s, batch[s.name]),
-                    axis=0).astype(jnp.float32)
-            continue
-        joint = jnp.take(tables[tname], jnp.concatenate(flat),
-                         axis=0).astype(jnp.float32)
-        off = 0
-        for s, ids in zip(specs, flat):
-            n = ids.shape[0]
-            rows[s.name] = joint[off:off + n].reshape(
-                batch[s.name].shape + (joint.shape[-1],))
-            off += n
+            rows[spec.name] = jnp.take(
+                tables[spec.table], offset_ids(spec, batch[spec.name]),
+                axis=0).astype(jnp.float32)
     return rows
 
 

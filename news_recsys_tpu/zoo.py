@@ -23,7 +23,9 @@ def mind_config(name: str = "dcn", batch_size: int = 512, equal_dims: bool = Fal
                 param_dtype: str = "float32", compute_dtype: str = "float32",
                 embedding_optimizer: str = "adamw",
                 embedding_update_period: int = 1,
-                arena_tables: bool = False) -> Config:
+                # measured default: +5% DCN e2e from grouped dedup + single
+                # update scatter (artifacts/arena_step_ab_r05.json)
+                arena_tables: bool = True) -> Config:
     emb = {k: 16 for k in MIND_FEATURES} if equal_dims else dict(MIND_EMB_SIZE)
     return config_from_dict({
         "name": name,

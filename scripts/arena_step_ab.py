@@ -45,25 +45,37 @@ def gather_per_feature(schema, batch, tables, large):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default="artifacts/arena_step_ab_r05.json")
+    ap.add_argument("--model", default="dcn", choices=["dcn", "attention"])
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
     n = BATCH * STEPS
-    arrays = {k: rng.integers(1, MIND_TABLE_SIZE[k], n).astype(np.int32)
-              for k in MIND_FEATURES}
-    arrays["label"] = (rng.random(n) < 0.1).astype(np.float32).reshape(-1, 1)
+    if args.model == "attention":
+        from news_recsys_tpu.zoo import attention_arrays, attention_config
+        import dataclasses
+        arrays = attention_arrays(n)
+    else:
+        arrays = {k: rng.integers(1, MIND_TABLE_SIZE[k], n).astype(np.int32)
+                  for k in MIND_FEATURES}
+        arrays["label"] = (rng.random(n) < 0.1).astype(np.float32).reshape(-1, 1)
     ds = PackedDataset(arrays)
     idx = jnp.arange(n, dtype=jnp.int32).reshape(STEPS, BATCH)
 
     merged_impl = ss.gather_large_rows
+    matrix = (("off", False, True), ("arena", True, True)) if args.model == "attention" \
+        else (("off", False, True), ("arena_nomerge", True, False),
+              ("arena_merge", True, True))
     variants = {}
-    for key, arena, merge in (("off", False, True),
-                              ("arena_nomerge", True, False),
-                              ("arena_merge", True, True)):
-        cfg = mind_config("dcn", batch_size=BATCH,
-                          embedding_optimizer="rowwise_adagrad",
-                          arena_tables=arena)
-        model = build_ranker(cfg, "dcn")
+    for key, arena, merge in matrix:
+        if args.model == "attention":
+            cfg = attention_config(batch_size=BATCH)
+            cfg = dataclasses.replace(cfg, embeddings=dataclasses.replace(
+                cfg.embeddings, arena_tables=arena))
+        else:
+            cfg = mind_config("dcn", batch_size=BATCH,
+                              embedding_optimizer="rowwise_adagrad",
+                              arena_tables=arena)
+        model = build_ranker(cfg, args.model)
         with tempfile.TemporaryDirectory() as tmp:
             tr = Trainer(cfg, model, workdir=tmp, use_mesh=False)
             b0 = {k: np.asarray(v[:BATCH]) for k, v in ds.arrays.items()}
@@ -107,7 +119,7 @@ def main():
 
     base = min(acc["empty"])
     out = {
-        "what": "DCN b512 rowwise_adagrad production chunk-fn step time: "
+        "what": f"{args.model} b512 rowwise_adagrad production chunk-fn step time: "
                 "arena off / arena without gather merge / arena + merged "
                 "gather (one take per arena)",
         "backend": "TPU v5 lite",

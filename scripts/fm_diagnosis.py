@@ -91,7 +91,7 @@ def run_variant(base_cfg, name, init_scale, lr, optimizer, epochs, warm):
                         train_ds.take(np.arange(cfg.dataset.batch_size))),
                         train_ds, epoch))
         res = tr.validate(state, dev_ds, epoch, warm)
-        wauc = res["Warm-Start Users"]["AUC"]
+        wauc = res["Warm_Start"]["AUC"]
         if wauc > best_warm:
             best_warm, best_epoch = wauc, epoch
             best_block = {coh: {k: round(v, 5) for k, v in vals.items()}

@@ -76,32 +76,43 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
                                     lr_milestones=[10000, 60000])
     else:
         drop_arrays()
-    if name in ("lr", "fm") and optimizer == "auto":
+    if name in ("lr", "fm"):
         # The shallow models score DIRECTLY from raw embeddings (LR: sum of
         # dim-1 biases; FM: quadratic form), so the torch-default N(0,1)
-        # init starts them deep in sigmoid saturation (FM logit std ~15).
-        # They keep the reference's dense AdamW: its per-element normalized
-        # step deflates the init at ~lr per touch, where rowwise-AdaGrad's
-        # decaying step stalls. They also get the longer recipe
-        # (--shallow-epochs; the reference trains everything 30 epochs).
-        optimizer = "adamw"
-    elif optimizer == "auto":
+        # init starts them deep in sigmoid saturation (FM init logit std
+        # ~15; rowwise-AdaGrad's decaying step can never escape it, AdamW
+        # only at ~lr/element/step). The measured fix is a small init —
+        # warm AUC 0.53 -> 0.78 at the reference recipe lr
+        # (artifacts/fm_diagnosis_r05.json) — which also makes the shallow
+        # rows optimizer-agnostic, so "auto" is rowwise_adagrad everywhere.
+        raw["embeddings"]["init_scale"] = 0.03
+    if optimizer == "auto":
         optimizer = "rowwise_adagrad"
     raw["train_hparams"]["embedding_optimizer"] = optimizer
-    if variant == "adamw":          # optimizer parity reference row
-        optimizer = "adamw"
-        raw["train_hparams"]["embedding_optimizer"] = optimizer
-    if variant.startswith("b") and variant[1:].isdigit():
-        # large-batch recipe: sqrt lr scaling from the reference's b512,
-        # step-count knobs scaled to keep the schedule aligned in EPOCHS
-        batch = int(variant[1:])
-        factor = batch // 512
-        raw["dataset"]["batch_size"] = batch
-        hp = raw["train_hparams"]
-        hp["lr"] = hp["lr"] * factor ** 0.5
-        hp["min_lr"] = hp["min_lr"] * factor ** 0.5
-        hp["lr_milestones"] = [max(1, m // factor) for m in hp["lr_milestones"]]
-        hp["max_step"] = max(1, hp["max_step"] // factor)
+    # "+"-separated variant tokens: adamw (optimizer parity column),
+    # b<batch> (sqrt-lr large batch), aug (DSSM leave-one-out history
+    # pairs), is<scale> (embeddings.init_scale)
+    for tok in [t for t in variant.split("+") if t]:
+        if tok == "adamw":          # optimizer parity reference row
+            optimizer = "adamw"
+            raw["train_hparams"]["embedding_optimizer"] = optimizer
+        elif tok == "aug":
+            raw.setdefault("dssm_cfg", {})["hist_augment"] = True
+        elif tok.startswith("is"):
+            raw["embeddings"]["init_scale"] = float(tok[2:])
+        elif tok.startswith("b") and tok[1:].isdigit():
+            # large-batch recipe: sqrt lr scaling from the reference's b512,
+            # step-count knobs scaled to keep the schedule aligned in EPOCHS
+            batch = int(tok[1:])
+            factor = batch // 512
+            raw["dataset"]["batch_size"] = batch
+            hp = raw["train_hparams"]
+            hp["lr"] = hp["lr"] * factor ** 0.5
+            hp["min_lr"] = hp["min_lr"] * factor ** 0.5
+            hp["lr_milestones"] = [max(1, m // factor) for m in hp["lr_milestones"]]
+            hp["max_step"] = max(1, hp["max_step"] // factor)
+        else:
+            raise ValueError(f"Unknown variant token {tok!r} in {variant!r}")
     if chunk_steps:
         raw["train_hparams"]["chunk_steps"] = chunk_steps
     if name == "widedeep":

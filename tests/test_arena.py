@@ -219,3 +219,49 @@ def test_arena_oob_id_clamps_to_padding(tmp_path):
     np.testing.assert_array_equal(a1[uoff + 100: uoff + VOCABS["user_id"]],
                                   a0[uoff + 100: uoff + VOCABS["user_id"]])
     assert np.isfinite(a1).all()
+
+
+def test_arena_bf16_trainer_learns(tmp_path):
+    """bf16 table storage + arena packing (the bench bf16 line's combo):
+    stochastic-rounded write-back over the packed param, model learns."""
+    import dataclasses
+
+    from news_recsys_tpu.training.metrics import pooled_auc
+
+    cfg = make_cfg(True, lr=5e-3)
+    cfg = dataclasses.replace(cfg, mesh=dataclasses.replace(
+        cfg.mesh, param_dtype="bfloat16"))
+    model = build_ranker(cfg, "deep")
+    ds = make_ds()
+    tr = Trainer(cfg, model, workdir=str(tmp_path), use_mesh=False)
+    state = tr.fit(ds, max_epochs=3)
+    import jax.numpy as jnp
+    assert state.params["params"]["embedder"]["arena_d16"].dtype == jnp.bfloat16
+    auc = pooled_auc(ds.arrays["label"][:, 0], tr.predict(state.params, ds))
+    assert auc > 0.75, auc   # bf16 write-back costs a little vs fp32's ~0.85
+
+
+def test_arena_excludes_array_feature_tables():
+    """Tables backing array features never pack (their B*L slots would put
+    the whole arena on the dense full-table route — measured 2.3x slower on
+    the attention ranker)."""
+    from news_recsys_tpu.config import arena_layout, config_from_dict
+
+    cfg = config_from_dict({
+        "name": "attention",
+        "features": {"sparse_feature_names": ["user_id", "item_id"],
+                     "array_feature_names": ["hist"],
+                     "item_feature_names": ["item_id"],
+                     "user_feature_names": ["user_id", "hist"],
+                     "array_max_length": {"hist": 8}},
+        "embeddings": {"embedding_size": {"user_id": 32, "item_id": 32},
+                       "embedding_table_size": {"user_id": 94058, "item_id": 65239},
+                       "share_emb_table_features": {"hist": "item_id"},
+                       "arena_tables": True},
+        "dataset": {"batch_size": 64},
+        "train_hparams": {"max_epoch": 1, "lr": 1e-3, "min_lr": 1e-4,
+                          "lr_milestones": [100, 200], "max_step": 1000},
+    })
+    # item_id backs the hist array feature -> excluded; user_id alone
+    # cannot form an arena -> no packing at all
+    assert arena_layout(cfg) == {}

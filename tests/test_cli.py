@@ -170,3 +170,36 @@ def test_multi_label_extractor(tmp_path):
     beh1 = pd.DataFrame({"label": [1, 0, 1]})
     out1 = default_label_extractor(ExtractionContext(beh1, pd.DataFrame(), None))
     assert out1.shape == (3, 1)
+
+
+def test_cli_predict_dssm(workspace, tmp_path):
+    """predict -m dssm: per-row user/item tower embeddings + cosine scores,
+    consistent with encoding the towers directly."""
+    import numpy as np
+
+    from news_recsys_tpu.config import load_config
+    from news_recsys_tpu.data.packed_dataset import PackedDataset
+
+    tmp, cfg_path, dssm_path = workspace
+    workdir = str(tmp / "exp_dssm")  # trained by test_cli_dssm
+    out = str(tmp_path / "dssm_preds.jsonl")
+    cli_main(["predict", "-c", dssm_path, "-m", "dssm", "--checkpoint", workdir,
+              "--split", "dev", "--output", out, "--no-mesh"])
+    rows = [json.loads(l) for l in open(out)]
+    cfg = load_config(dssm_path)
+    dev = PackedDataset.open_split(cfg, "dev")
+    assert len(rows) == len(dev)
+    u = np.array([r["user_embedding"] for r in rows], np.float32)
+    v = np.array([r["item_embedding"] for r in rows], np.float32)
+    s = np.array([r["score"] for r in rows], np.float32)
+    # towers are L2-normalized; score is their cosine
+    np.testing.assert_allclose(np.linalg.norm(u, axis=1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(s, (u * v).sum(1), atol=2e-5)
+    assert np.abs(s).max() <= 1.0 + 1e-5
+    # same user id -> same user embedding (deterministic tower)
+    uid = np.array([r["user_id"] for r in rows])
+    for x in np.unique(uid)[:5]:
+        same = u[uid == x]
+        np.testing.assert_allclose(same, np.broadcast_to(same[0], same.shape),
+                                   atol=1e-5)
