@@ -88,19 +88,39 @@ def _l2(x, axis=-1):
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), 1e-12)
 
 
-def sample_in_batch_negatives(rng, item_emb: jnp.ndarray, rate: int) -> jnp.ndarray:
-    """(B, D) -> (B, rate, D): ``rate`` random in-batch permutations."""
+def sample_in_batch_negatives(rng, item_emb: jnp.ndarray, rate: int,
+                              item_ids=None):
+    """(B, D) -> (B, rate, D): ``rate`` random in-batch permutations.
+
+    With ``item_ids`` also returns the permuted ids (B, rate) — needed by
+    the logQ sampling-bias correction to look up each negative's sampling
+    probability."""
     B = item_emb.shape[0]
     keys = jax.random.split(rng, rate)
     perms = jnp.stack([jax.random.permutation(k, B) for k in keys])  # (rate, B)
-    return jnp.transpose(item_emb[perms], (1, 0, 2))                  # (B, rate, D)
+    neg = jnp.transpose(item_emb[perms], (1, 0, 2))                  # (B, rate, D)
+    if item_ids is None:
+        return neg
+    return neg, jnp.transpose(item_ids[perms], (1, 0))               # (B, rate)
 
 
 def info_nce_loss(user_emb, pos_item_emb, neg_item_emb, temperature: float = 0.1,
-                  mask=None) -> jnp.ndarray:
-    """InfoNCE with the positive at index 0 (``DSSM/model.py:92-110``)."""
+                  mask=None, log_q_pos=None, log_q_neg=None) -> jnp.ndarray:
+    """InfoNCE with the positive at index 0 (``DSSM/model.py:92-110``).
+
+    ``log_q_*``: sampling-bias (logQ) correction — each candidate's logit
+    gets ``- log q(item)`` where ``q`` is its in-batch sampling probability
+    (its empirical train frequency). Without it, popular items appear as
+    negatives in proportion to their popularity and the learned score is
+    popularity-DISCOUNTED pointwise mutual information; with it the score
+    estimates ``log p(item | user)`` so popularity survives into retrieval
+    (Yi et al. 2019). The reference's InfoNCE is uncorrected."""
     pos = jnp.sum(user_emb * pos_item_emb, axis=1) / temperature          # (B,)
     neg = jnp.einsum("bd,bnd->bn", user_emb, neg_item_emb) / temperature  # (B, n)
+    if log_q_pos is not None:
+        pos = pos - log_q_pos
+    if log_q_neg is not None:
+        neg = neg - log_q_neg
     logits = jnp.concatenate([pos[:, None], neg], axis=1)
     losses = -jax.nn.log_softmax(logits, axis=1)[:, 0]
     if mask is not None:
@@ -123,23 +143,46 @@ def triplet_loss(user_emb, pos_item_emb, neg_item_emb, margin: float = 1.0,
 def dssm_loss_from_embeddings(rng, user_emb, item_emb, batch,
                               negative_sample_rate: int = 3,
                               temperature: float = 0.1, loss_type: str = "infonce",
-                              margin: float = 1.0) -> jnp.ndarray:
-    """Loss from raw tower outputs (negatives sampled, L2-normalized here)."""
-    neg = sample_in_batch_negatives(rng, item_emb, negative_sample_rate)
+                              margin: float = 1.0,
+                              logq_table=None) -> jnp.ndarray:
+    """Loss from raw tower outputs (negatives sampled, L2-normalized here).
+
+    ``logq_table``: (V,) per-item ``log q`` lookup enabling the sampling-
+    bias-corrected InfoNCE (``dssm_cfg.logq_correction``)."""
     user_emb = _l2(user_emb)
-    item_emb = _l2(item_emb)
-    neg = _l2(neg)
+    item_emb_n = _l2(item_emb)
     # only positive (clicked) rows form training pairs; weight by validity too
     mask = batch["label"][:, 0] * batch.get("_valid", jnp.ones(user_emb.shape[0]))
+    if logq_table is not None and loss_type == "infonce":
+        ids = batch["item_id"]
+        neg, neg_ids = sample_in_batch_negatives(rng, item_emb, negative_sample_rate,
+                                                 item_ids=ids)
+        return info_nce_loss(user_emb, item_emb_n, _l2(neg), temperature, mask,
+                             log_q_pos=logq_table[ids],
+                             log_q_neg=logq_table[neg_ids])
+    neg = _l2(sample_in_batch_negatives(rng, item_emb, negative_sample_rate))
     if loss_type == "triplet":
-        return triplet_loss(user_emb, item_emb, neg, margin, mask)
-    return info_nce_loss(user_emb, item_emb, neg, temperature, mask)
+        return triplet_loss(user_emb, item_emb_n, neg, margin, mask)
+    return info_nce_loss(user_emb, item_emb_n, neg, temperature, mask)
 
 
 def dssm_train_loss(model: DSSM, params, rng, batch, negative_sample_rate: int = 3,
                     temperature: float = 0.1, loss_type: str = "infonce",
-                    margin: float = 1.0) -> jnp.ndarray:
+                    margin: float = 1.0, logq_table=None) -> jnp.ndarray:
     user_emb, item_emb = model.apply(params, batch)
     return dssm_loss_from_embeddings(rng, user_emb, item_emb, batch,
                                      negative_sample_rate, temperature,
-                                     loss_type, margin)
+                                     loss_type, margin, logq_table=logq_table)
+
+
+def item_log_q(train_ds, vocab: int) -> "np.ndarray":
+    """Empirical in-batch sampling probability per item, as a (V,) log-q
+    table: negatives are permutations of the batch's items, so q(i) is i's
+    frequency among training rows. Unseen items floor at one pseudo-count
+    (they never appear as negatives anyway)."""
+    import numpy as np
+    ids = np.asarray(train_ds.arrays["item_id"])
+    counts = np.bincount(ids, minlength=vocab).astype(np.float64)
+    counts = np.maximum(counts, 1.0)
+    q = counts / counts.sum()
+    return np.log(q).astype(np.float32)

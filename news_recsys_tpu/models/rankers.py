@@ -154,6 +154,36 @@ class FMRanker(RankerBase):
         return self.bias[0] + first + second
 
 
+class DeepFMRanker(RankerBase):
+    """DeepFM: FM first+second order PLUS a deep MLP tower over the same
+    shared embeddings, summed into one logit (Guo et al. 2017).
+
+    Named in the build target's config list ("DeepFM ranker: FM
+    second-order pairwise kernel + deep tower"); the reference zoo ships FM
+    and Deep separately (``src/model/sort/{fm,deep}``) — this combines them
+    on the shared-embedding contract: the FM part slices column 0 / columns
+    1.. exactly like :class:`FMRanker`, the deep part consumes the full
+    concat like :class:`DeepRanker`.
+    """
+
+    hidden: Sequence[int] = DEFAULT_HIDDEN
+
+    def _setup_tower(self):
+        self.bias = self.param("bias", nn.initializers.zeros, (1,))
+        self.tower = MLP(dims=tuple(self.hidden), dtype=self.tower_dtype)
+
+    def forward_from_fields(self, fields, masks=None):
+        from ..ops.fm_kernel import fm_second_order
+
+        dims = {e.shape[1] for e in fields}
+        assert len(dims) == 1, "DeepFM requires equal embedding dims across fields"
+        w = jnp.concatenate([e[:, 0:1] for e in fields], axis=1)
+        v = jnp.stack([e[:, 1:] for e in fields], axis=1)
+        fm = jnp.sum(w, axis=1) + fm_second_order(v)
+        deep = self.tower(jnp.concatenate(fields, axis=1))[:, 0]
+        return self.bias[0] + fm + deep
+
+
 class CrossNetV1(nn.Module):
     """Stacked DCN-v1 cross layers using the rank-1 identity (see module doc).
 
@@ -241,6 +271,8 @@ def build_ranker(cfg: Config, name: str | None = None) -> RankerBase:
         return WideDeepRanker(tables=tables, schema=schema, wide_features=wide, **dtypes)
     if name == "fm":
         return FMRanker(tables=tables, schema=schema, **dtypes)
+    if name == "deepfm":
+        return DeepFMRanker(tables=tables, schema=schema, **dtypes)
     if name == "dcn":
         dcn = cfg.extra("dcn_cfg", {}) or {}
         return DCNRanker(
@@ -256,4 +288,4 @@ def build_ranker(cfg: Config, name: str | None = None) -> RankerBase:
     raise ValueError(f"Unknown ranker: {name!r}")
 
 
-RANKER_NAMES = ("lr", "deep", "widedeep", "fm", "dcn", "attention")
+RANKER_NAMES = ("lr", "deep", "widedeep", "fm", "deepfm", "dcn", "attention")

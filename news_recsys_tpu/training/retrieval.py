@@ -41,12 +41,14 @@ logger = get_logger("retrieval")
 
 
 def make_dssm_train_step(model: DSSM, negative_sample_rate: int, temperature: float,
-                         loss_type: str = "infonce", margin: float = 1.0):
+                         loss_type: str = "infonce", margin: float = 1.0,
+                         logq_table=None):
     def step(state: TrainState, rng, batch):
         sub = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(
             lambda p: dssm_train_loss(model, p, sub, batch, negative_sample_rate,
-                                      temperature, loss_type, margin)
+                                      temperature, loss_type, margin,
+                                      logq_table=logq_table)
         )(state.params)
         state = state.apply_gradients(grads=grads)
         return state, rng, loss
@@ -56,7 +58,8 @@ def make_dssm_train_step(model: DSSM, negative_sample_rate: int, temperature: fl
 
 def make_dssm_chunk_fn(model: DSSM, layout_key, batch_size: int,
                        negative_sample_rate: int, temperature: float,
-                       loss_type: str = "infonce", margin: float = 1.0):
+                       loss_type: str = "infonce", margin: float = 1.0,
+                       logq_table=None):
     """Device-resident chunked (lax.scan) DSSM training — one dispatch per
     chunk of steps; the per-step negatives key is ``fold_in(key, step)``."""
     from ..data.packed_dataset import unpack_batch
@@ -72,7 +75,8 @@ def make_dssm_chunk_fn(model: DSSM, layout_key, batch_size: int,
             batch = unpack_batch(im, fm, ones, layout_key)
             loss, grads = jax.value_and_grad(
                 lambda p: dssm_train_loss(model, p, sub, batch, negative_sample_rate,
-                                          temperature, loss_type, margin)
+                                          temperature, loss_type, margin,
+                                          logq_table=logq_table)
             )(state.params)
             state = state.apply_gradients(grads=grads)
             return (state, rng), loss
@@ -86,7 +90,7 @@ def make_dssm_chunk_fn(model: DSSM, layout_key, batch_size: int,
 def make_dssm_sparse_chunk_fn(model: DSSM, layout_key, batch_size: int, cfg: Config,
                               negative_sample_rate: int, temperature: float,
                               loss_type: str = "infonce", margin: float = 1.0,
-                              mesh=None):
+                              mesh=None, logq_table=None):
     """DSSM chunked training with ROWWISE embedding updates (sparse_adamw or
     rowwise_adagrad): differentiates w.r.t. the gathered user/item table
     rows — the dense (V, D) gradient never exists — and applies the same
@@ -141,7 +145,8 @@ def make_dssm_sparse_chunk_fn(model: DSSM, layout_key, batch_size: int, cfg: Con
                                            method=DSSM.towers_from_fields)
                 return dssm_loss_from_embeddings(sub, u_emb, i_emb, batch,
                                                  negative_sample_rate, temperature,
-                                                 loss_type, margin)
+                                                 loss_type, margin,
+                                                 logq_table=logq_table)
 
             loss, (dense_g, small_g, row_g) = jax.value_and_grad(
                 loss_from, argnums=(0, 1, 2))(dense, small, rows_in)
@@ -214,6 +219,12 @@ class DSSMTrainer(Trainer):
         margin = float(dcfg.get("margin", 1.0))
         self.negative_sample_rate = negative_sample_rate
         self._loss_args = (negative_sample_rate, temperature, loss_type, margin)
+        # dssm_cfg.logq_correction: sampling-bias-corrected InfoNCE — each
+        # candidate's logit gets -log q(item) so in-batch negatives stop
+        # penalizing popular items (models.dssm.info_nce_loss). The (V,)
+        # log-q table is built from the TRAIN split at fit() time.
+        self._logq = bool(dcfg.get("logq_correction", False))
+        self._logq_table = None
         super().__init__(cfg, model, workdir=workdir, mesh=mesh,
                          use_mesh=use_mesh, profile_steps=profile_steps)
         # replace the ranking (BCE) single step with the two-tower one
@@ -239,11 +250,29 @@ class DSSMTrainer(Trainer):
             if self.sparse_embeddings:
                 self._chunked_steps[key] = make_dssm_sparse_chunk_fn(
                     self.model, layout_key, batch_size, self.cfg,
-                    *self._loss_args, mesh=self.mesh)
+                    *self._loss_args, mesh=self.mesh,
+                    logq_table=self._logq_table)
             else:
                 self._chunked_steps[key] = make_dssm_chunk_fn(
-                    self.model, layout_key, batch_size, *self._loss_args)
+                    self.model, layout_key, batch_size, *self._loss_args,
+                    logq_table=self._logq_table)
         return self._chunked_steps[key]
+
+    def fit(self, train_ds, dev_ds=None, warm_user_set=None, state=None,
+            max_epochs=None, resume=False):
+        if self._logq and self._logq_table is None:
+            import jax.numpy as jnp
+
+            from ..models.dssm import item_log_q
+            vocab = int(self.cfg.embeddings.embedding_table_size["item_id"])
+            self._logq_table = self._put_replicated(
+                jnp.asarray(item_log_q(train_ds, vocab)))
+            self.train_step = make_dssm_train_step(
+                self.model, *self._loss_args, logq_table=self._logq_table)
+            logger.info("logQ correction on: per-item sampling-bias table "
+                        f"built from {len(train_ds)} train rows")
+        return super().fit(train_ds, dev_ds=dev_ds, warm_user_set=warm_user_set,
+                           state=state, max_epochs=max_epochs, resume=resume)
 
     # -- retrieval validation --------------------------------------------------
 

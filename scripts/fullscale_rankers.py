@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODELS = ["lr", "deep", "widedeep", "fm", "dcn", "attention", "dssm"]
+MODELS = ["lr", "deep", "widedeep", "fm", "deepfm", "dcn", "attention", "dssm"]
 
 ARRAY_FEATURES = ("hist", "entities")  # extracted at fullscale; only the
                                        # sequence models consume them
@@ -76,7 +76,7 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
                                     lr_milestones=[10000, 60000])
     else:
         drop_arrays()
-    if name in ("lr", "fm"):
+    if name in ("lr", "fm", "deepfm"):
         # The shallow models score DIRECTLY from raw embeddings (LR: sum of
         # dim-1 biases; FM: quadratic form), so the torch-default N(0,1)
         # init starts them deep in sigmoid saturation (FM init logit std
@@ -98,6 +98,8 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
             raw["train_hparams"]["embedding_optimizer"] = optimizer
         elif tok == "aug":
             raw.setdefault("dssm_cfg", {})["hist_augment"] = True
+        elif tok == "logq":
+            raw.setdefault("dssm_cfg", {})["logq_correction"] = True
         elif tok.startswith("is"):
             raw["embeddings"]["init_scale"] = float(tok[2:])
         elif tok.startswith("b") and tok[1:].isdigit():
@@ -121,7 +123,7 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
         # wide features: dim 0 is the wide column (reference uses 16+1)
         for f in raw["wide_and_deep_cfg"]["wide_feature_names"]:
             raw["embeddings"]["embedding_size"][f] = 17
-    if name == "fm":
+    if name in ("fm", "deepfm"):
         # FM needs equal dims (w = col 0, v = cols 1..d); the reference's
         # train_cf_fm.yaml uses 16 for every field
         raw["embeddings"]["embedding_size"] = {
@@ -213,7 +215,7 @@ def main():
         print(f"=== {name} ===", flush=True)
         base = name.split("@")[0]
         epochs = args.epochs
-        if base in ("lr", "fm"):
+        if base in ("lr", "fm", "deepfm"):
             epochs = args.shallow_epochs or epochs
         elif base == "dssm":
             epochs = args.dssm_epochs or epochs

@@ -51,7 +51,7 @@ def cfg():
 
 @pytest.mark.parametrize("name", RANKER_NAMES)
 def test_ranker_forward(cfg, name):
-    if name == "fm":
+    if name in ("fm", "deepfm"):
         # FM requires equal embedding dims across fields (train_cf_fm.yaml:31-36)
         raw = {**CFG, "embeddings": {
             **CFG["embeddings"],
