@@ -214,6 +214,12 @@ def main():
             # (sqrt-lr-scaled recipe lands within noise of b512)
             ("dcn_b8192_e2e_train_examples_per_sec_per_chip",
              lambda: measure(ROWS * 8, batch=8192)[:3:2]),
+            # throughput ceiling: bf16 tables+compute pay off once the
+            # per-step table traffic is large enough (+8% at b8192,
+            # artifacts/bf16_b8192_r05.json; negative at b512)
+            ("dcn_b8192_bf16_e2e_train_examples_per_sec_per_chip",
+             lambda: measure(ROWS * 8, batch=8192, param_dtype="bfloat16",
+                             compute_dtype="bfloat16")[:3:2]),
         ]:
             try:
                 v, med = fn()

@@ -100,6 +100,15 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
             raw.setdefault("dssm_cfg", {})["hist_augment"] = True
         elif tok == "logq":
             raw.setdefault("dssm_cfg", {})["logq_correction"] = True
+        elif tok == "v2":
+            raw.setdefault("dcn_cfg", {"num_layers": 3})["version"] = 2
+        elif tok.startswith("ns"):
+            raw.setdefault("dssm_cfg", {})["negative_sample_rate"] = int(tok[2:])
+        elif tok.startswith("temp"):
+            raw.setdefault("dssm_cfg", {})["temperature"] = float(tok[4:])
+        elif tok == "bf16":
+            raw.setdefault("mesh", {}).update(param_dtype="bfloat16",
+                                              compute_dtype="bfloat16")
         elif tok.startswith("is"):
             raw["embeddings"]["init_scale"] = float(tok[2:])
         elif tok.startswith("b") and tok[1:].isdigit():
