@@ -25,7 +25,9 @@ def main():
             rows.append(r)
     for path in ("artifacts/rankers_fullscale_r05_partial.json",
                  "artifacts/rankers_fullscale_r05_partial2.json",
-                 "artifacts/rankers_fullscale_r05_partial3.json"):
+                 "artifacts/rankers_fullscale_r05_partial3.json",
+                 "artifacts/rankers_fullscale_r05_bf16.json",
+                 "artifacts/rankers_fullscale_r05_sweep.json"):
         with open(path) as f:
             rows.extend(json.load(f)["results"])
 
@@ -41,7 +43,12 @@ def main():
                 "deepfm: new model (FM + deep tower), same shallow recipe",
                 "dssm_aug*: leave-one-out history pairs "
                 "(dssm_cfg.hist_augment); dssm_aug+logq*: + sampling-bias "
-                "corrected InfoNCE (dssm_cfg.logq_correction)",
+                "corrected InfoNCE (dssm_cfg.logq_correction); +ns8: 8 "
+                "in-batch negatives (the shipped configs/dssm.yaml recipe); "
+                "+temp0.05: temperature ablation",
+                "dcn_v2: DCN-v2 cross layers (dcn_cfg.version: 2); "
+                "dcn_b8192+bf16: the 3.32M ex/s throughput-ceiling combo's "
+                "quality row (bf16 tables+compute, sqrt-lr b8192 recipe)",
             ],
             "retrieval_baselines": {
                 "random_HR@10": 0.000153,
