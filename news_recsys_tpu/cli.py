@@ -256,8 +256,21 @@ def cmd_serve(args):
         # client is initialized lazily inside request-handler threads
         import jax
         jax.config.update("jax_platforms", "cpu")
-    from .serving import Recommender, serve_http
-    rec = Recommender.load(args.bundle, backend=args.backend)
+    from .serving import CascadeRecommender, Recommender, build_cascade, serve_http
+    meta_path = os.path.join(args.bundle, "meta.json")
+    with open(meta_path) as f:
+        is_cascade_bundle = json.load(f).get("kind") == "cascade"
+    if args.ranker_ckpt:
+        # compose the full recall -> rank cascade at startup
+        if not args.ranker_config:
+            raise SystemExit("--ranker-ckpt requires --ranker-config")
+        rec = build_cascade(args.bundle, args.ranker_ckpt, args.ranker_config,
+                            fetch=args.fetch, backend=args.backend)
+    elif is_cascade_bundle:
+        rec = CascadeRecommender.load(args.bundle, backend=args.backend,
+                                      fetch=args.fetch or None)
+    else:
+        rec = Recommender.load(args.bundle, backend=args.backend)
     server = serve_http(rec, host=args.host, port=args.port)
     print(f"Serving on http://{args.host}:{server.server_address[1]}")
     try:
@@ -424,10 +437,19 @@ def main(argv=None):
     p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("serve", help="HTTP recommendation server from a saved bundle")
-    p.add_argument("--bundle", required=True, help="bundle dir (train dssm writes one)")
+    p.add_argument("--bundle", required=True,
+                   help="recall bundle dir (train dssm writes one) or a "
+                        "saved cascade bundle")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--backend", default="auto", choices=["auto", "device", "host"])
+    p.add_argument("--ranker-ckpt", default=None,
+                   help="ranker epoch_*.msgpack or experiment dir: serve the "
+                        "full recall -> rank cascade")
+    p.add_argument("--ranker-config", default=None,
+                   help="the ranker's YAML config (required with --ranker-ckpt)")
+    p.add_argument("--fetch", type=int, default=100,
+                   help="recall candidates re-scored by the ranker per query")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("itemcf", help="ItemCF recall baseline: fit train, HR@k on dev")

@@ -169,20 +169,192 @@ class Recommender:
         return rec_ids, rec_scores
 
 
+class CascadeRecommender:
+    """Full recall -> rank cascade: DSSM retrieval narrows the corpus to
+    ``fetch`` candidates, a ranking model (e.g. DCN) re-scores the
+    (user, candidate) pairs, and the top-k by RANKER score is served.
+
+    This is the production shape named in the build target ("full cascade:
+    DSSM recall -> DCN rank"); the reference ships the two stages but never
+    composes them. The ranker consumes each candidate's item-side features
+    joined from the item corpus (`item_features.npz` from feature
+    extraction), so the request needs only user-side features + history.
+    """
+
+    def __init__(self, recall: Recommender, ranker_cfg: Config, ranker_model,
+                 ranker_params, item_ds: PackedDataset, fetch: int = 100):
+        from .config import build_schema
+
+        self.recall = recall
+        self.ranker_cfg = ranker_cfg
+        self.ranker_model = ranker_model
+        self.ranker_params = ranker_params
+        self.fetch = fetch
+        self._score = jax.jit(ranker_model.apply)
+
+        f = ranker_cfg.features
+        self.item_feature_names = tuple(sorted(f.item_feature_names))
+        self.user_feature_names = tuple(
+            n for n in sorted(set(f.user_feature_names))
+            if n not in set(f.item_feature_names))
+        # item-id -> corpus row join table for the ranker's item features
+        self.item_arrays = {k: np.asarray(v) for k, v in item_ds.arrays.items()}
+        ids = self.item_arrays["item_id"].astype(np.int64)
+        self._pos = np.zeros(int(ids.max()) + 2, np.int64)
+        self._pos[ids] = np.arange(ids.size)
+        self._item_ds_for_save = item_ds
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> str:
+        """Bundle layout: ``recall/`` (a full :class:`Recommender` bundle) +
+        ``ranker/{config.yaml, params.msgpack}`` + ``item_features.npz`` +
+        ``meta.json``."""
+        from flax import serialization
+
+        os.makedirs(path, exist_ok=True)
+        self.recall.save(os.path.join(path, "recall"))
+        rdir = os.path.join(path, "ranker")
+        os.makedirs(rdir, exist_ok=True)
+        with open(os.path.join(rdir, "config.yaml"), "w") as f:
+            yaml.safe_dump(config_to_dict(self.ranker_cfg), f, sort_keys=False)
+        with open(os.path.join(rdir, "params.msgpack"), "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                jax.device_get(self.ranker_params)))
+        np.savez_compressed(os.path.join(path, "item_features.npz"),
+                            **self.item_arrays)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"format_version": BUNDLE_FORMAT_VERSION,
+                       "kind": "cascade", "fetch": self.fetch,
+                       "ranker": self.ranker_cfg.name}, f, indent=2)
+        logger.info(f"Cascade bundle saved -> {path}")
+        return path
+
+    @classmethod
+    def load(cls, path: str, backend: str = "auto",
+             fetch: Optional[int] = None) -> "CascadeRecommender":
+        from flax import serialization
+
+        from .models.rankers import build_ranker
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        if meta.get("kind") != "cascade":
+            raise ValueError(f"{path} is not a cascade bundle")
+        recall = Recommender.load(os.path.join(path, "recall"), backend=backend)
+        with open(os.path.join(path, "ranker", "config.yaml")) as f:
+            rcfg = config_from_dict(yaml.safe_load(f))
+        with open(os.path.join(path, "ranker", "params.msgpack"), "rb") as f:
+            rparams = serialization.msgpack_restore(f.read())
+        with np.load(os.path.join(path, "item_features.npz")) as z:
+            item_ds = PackedDataset({k: z[k] for k in z.files})
+        model = build_ranker(rcfg, rcfg.name)
+        return cls(recall, rcfg, model, rparams, item_ds,
+                   fetch=fetch or int(meta.get("fetch", 100)))
+
+    # -- the cascade ---------------------------------------------------------
+
+    def recommend(self, user_batch: Batch, k: int = 10,
+                  histories: Optional[Sequence[Sequence[int]]] = None
+                  ) -> Tuple[List[List[int]], List[List[float]]]:
+        """Top-k per user row by RANKER score over the recall stage's
+        ``fetch`` candidates (history already excluded by recall)."""
+        cand_ids, _ = self.recall.recommend(user_batch, k=self.fetch,
+                                            histories=histories)
+        n_users = len(cand_ids)
+        F = self.fetch
+        # pad candidate lists to a fixed width; padded slots score -inf
+        flat = np.zeros((n_users, F), np.int64)
+        valid = np.zeros((n_users, F), bool)
+        for r, ids_row in enumerate(cand_ids):
+            m = len(ids_row)
+            flat[r, :m] = ids_row
+            valid[r, :m] = True
+        safe = np.where(valid, flat, self.item_arrays["item_id"][0])
+        rows = self._pos[safe].reshape(-1)
+
+        batch: Batch = {}
+        for name in self.user_feature_names:
+            v = np.asarray(user_batch[name])
+            batch[name] = np.repeat(v, F, axis=0)
+            mask = user_batch.get(f"{name}_mask")
+            if mask is not None:
+                batch[f"{name}_mask"] = np.repeat(np.asarray(mask), F, axis=0)
+        for name in self.item_feature_names:
+            batch[name] = self.item_arrays[name][rows]
+            m = self.item_arrays.get(f"{name}_mask")
+            if m is not None:
+                batch[f"{name}_mask"] = m[rows].astype(np.float32)
+        batch["label"] = np.zeros((n_users * F, 1), np.float32)
+
+        logits = np.asarray(self._score(self.ranker_params,
+                                        jax.device_put(batch)))
+        scores = np.where(valid, logits.reshape(n_users, F), -np.inf)
+        order = np.argsort(-scores, axis=1)
+
+        rec_ids, rec_scores = [], []
+        for r in range(n_users):
+            ids_row, sc_row = [], []
+            for j in order[r][:k]:
+                if not valid[r, j]:
+                    break
+                ids_row.append(int(flat[r, j]))
+                sc_row.append(float(1 / (1 + np.exp(-scores[r, j]))))
+            rec_ids.append(ids_row)
+            rec_scores.append(sc_row)
+        return rec_ids, rec_scores
+
+
+def build_cascade(recall_bundle: str, ranker_ckpt: str, ranker_config: str,
+                  fetch: int = 100, backend: str = "auto") -> CascadeRecommender:
+    """Compose a cascade from a saved recall bundle + a trained ranker
+    checkpoint (``epoch_*.msgpack`` or an experiment dir) + its config;
+    item features come from the config's extracted item split."""
+    from flax import serialization
+
+    from .config import load_config
+    from .models.rankers import build_ranker
+
+    recall = Recommender.load(recall_bundle, backend=backend)
+    rcfg = load_config(ranker_config)
+    from .cli import _resolve_ckpt
+    ckpt = _resolve_ckpt(ranker_ckpt)
+    model = build_ranker(rcfg, rcfg.name)
+    with open(ckpt, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    rparams = tree["params"] if "params" in tree and "step" in tree else tree
+    item_ds = PackedDataset.open_split(rcfg, "item")
+    return CascadeRecommender(recall, rcfg, model, rparams, item_ds, fetch=fetch)
+
+
 # ---------------------------------------------------------------------------
 # HTTP shim — dependency-free JSON API over a loaded Recommender
 # ---------------------------------------------------------------------------
 
 
-def _user_batch_from_json(rec: Recommender, users: dict) -> Batch:
+def _http_user_specs(rec) -> list:
+    """User-side feature specs a request must supply: the recall tower's
+    schema, plus (cascade) any ranker user features not already in it."""
+    if isinstance(rec, CascadeRecommender):
+        specs = list(rec.recall.model.user_schema.specs)
+        have = {s.name for s in specs}
+        ranker_schema = rec.ranker_model.schema
+        for name in rec.user_feature_names:
+            if name not in have and name in ranker_schema:
+                specs.append(ranker_schema[name])
+        return specs
+    return list(rec.model.user_schema.specs)
+
+
+def _user_batch_from_json(rec, users: dict) -> Batch:
     """JSON feature lists -> typed arrays for the user tower schema."""
-    schema = rec.model.user_schema
+    specs = _http_user_specs(rec)
     batch: Batch = {}
     n = None
-    for spec in schema.specs:
+    for spec in specs:
         if spec.name not in users:
             raise ValueError(f"missing user feature '{spec.name}' "
-                             f"(required: {list(schema.names)})")
+                             f"(required: {[s.name for s in specs]})")
         vals = users[spec.name]
         arr = (np.asarray(vals, np.float32) if spec.kind == "dense"
                else np.asarray(vals, np.int32))
@@ -218,8 +390,13 @@ def make_http_handler(rec: Recommender):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"status": "ok", "items": int(len(rec.item_ids)),
-                                  "backend": rec.backend})
+                base = rec.recall if isinstance(rec, CascadeRecommender) else rec
+                info = {"status": "ok", "items": int(len(base.item_ids)),
+                        "backend": base.backend}
+                if isinstance(rec, CascadeRecommender):
+                    info.update(cascade=True, ranker=rec.ranker_cfg.name,
+                                fetch=rec.fetch)
+                self._reply(200, info)
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
