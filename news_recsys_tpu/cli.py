@@ -62,6 +62,24 @@ def cmd_train(args):
 
     dev_ds = PackedDataset.open_split(cfg, "dev")
     model = build_ranker(cfg, name)
+
+    # rank_cfg.random_neg_per_positive: mix label-0 rows pairing each
+    # positive's user with uniform corpus items — exposure debiasing so the
+    # ranker can re-score RETRIEVAL candidates in the cascade (a purely
+    # impression-trained ranker degrades cascade HR@10; see
+    # data/hist_pairs.py::random_negative_rows). Dev eval is untouched.
+    rk = cfg.extra("rank_cfg", {}) or {}
+    rneg = int(rk.get("random_neg_per_positive", 0))
+    if rneg > 0:
+        from .data.hist_pairs import concat_datasets, random_negative_rows
+        neg = random_negative_rows(cfg, train_ds,
+                                   PackedDataset.open_split(cfg, "item"),
+                                   per_positive=rneg,
+                                   seed=cfg.train_hparams.seed)
+        train_ds = concat_datasets(train_ds, neg)
+        logger.info(f"Rank train set: +{len(neg)} random corpus negatives "
+                    f"({rneg} per positive)")
+
     trainer = Trainer(cfg, model, workdir=args.workdir)
     logger.info(f"Training '{name}' -> {trainer.log_dir}")
     trainer.fit(train_ds, dev_ds, warm_user_set=warm, max_epochs=args.epochs,

@@ -45,6 +45,40 @@ def concat_datasets(a: PackedDataset, b: PackedDataset) -> PackedDataset:
                           for k in a.arrays})
 
 
+def random_negative_rows(cfg: Config, train_ds: PackedDataset,
+                         item_ds: PackedDataset, per_positive: int = 4,
+                         seed: int = 0) -> PackedDataset:
+    """Label-0 rows pairing each positive row's user with uniformly-sampled
+    corpus items (exposure debiasing for rankers that will re-score
+    RETRIEVAL candidates).
+
+    An impression-trained ranker only ever sees items an upstream system
+    chose to display; its scores extrapolate poorly to corpus-level
+    candidates and a naive recall->rank cascade DEGRADES HR@10 (measured:
+    0.0193 -> 0.0089, artifacts/cascade_eval_r05.json). Mixing in random
+    corpus negatives teaches the ranker to push never-displayed items
+    below displayed ones — the standard sampled-negative fix.
+    """
+    rng = np.random.default_rng(seed)
+    keep = np.flatnonzero(np.asarray(train_ds.arrays["label"])[:, 0] == 1)
+    src = keep.repeat(per_positive)
+    n = src.size
+    item_ids = np.asarray(item_ds.arrays["item_id"])
+    ipos = rng.integers(0, item_ids.size, n)
+
+    item_cols = set(cfg.features.item_feature_names)
+    out: Dict[str, np.ndarray] = {}
+    for k, v in train_ds.arrays.items():
+        base = k[:-5] if k.endswith("_mask") else k
+        if k == "label":
+            out[k] = np.zeros((n,) + v.shape[1:], np.float32)
+        elif base in item_cols and k in item_ds.arrays:
+            out[k] = np.asarray(item_ds.arrays[k])[ipos]
+        else:
+            out[k] = np.asarray(v)[src]
+    return PackedDataset(out)
+
+
 def hist_augmented_pairs(cfg: Config, train_ds: PackedDataset,
                          item_ds: PackedDataset,
                          hist_name: str = "hist") -> PackedDataset:

@@ -109,6 +109,8 @@ def run_model(name: str, config: str, epochs: int, workdir: str, optimizer: str,
         elif tok == "bf16":
             raw.setdefault("mesh", {}).update(param_dtype="bfloat16",
                                               compute_dtype="bfloat16")
+        elif tok.startswith("rneg"):
+            raw.setdefault("rank_cfg", {})["random_neg_per_positive"] = int(tok[4:])
         elif tok.startswith("is"):
             raw["embeddings"]["init_scale"] = float(tok[2:])
         elif tok.startswith("b") and tok[1:].isdigit():

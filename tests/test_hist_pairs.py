@@ -187,3 +187,26 @@ def test_augmented_training_lifts_retrieval(tmp_path):
     # augmented model well above both random and the click-only model
     assert hrs[True] > 0.15, hrs
     assert hrs[True] > hrs[False] + 0.05, hrs
+
+
+def test_random_negative_rows():
+    """Exposure-debias augmentation: label-0 rows pair each positive's user
+    features with uniform corpus items whose item features are joined."""
+    from news_recsys_tpu.data.hist_pairs import random_negative_rows
+
+    cfg = make_cfg()
+    train, items = make_data()
+    neg = random_negative_rows(cfg, train, items, per_positive=3, seed=1)
+    # 3 positives in make_data -> 9 negative rows
+    assert len(neg) == 9
+    a = neg.arrays
+    assert np.all(a["label"] == 0.0)
+    # user-side features copied from the positive source rows
+    assert set(np.unique(a["user_id"])) <= {1, 2, 3}
+    # item features joined consistently from the corpus
+    for i in range(9):
+        assert a["category"][i] == a["item_id"][i] % 9 + 1
+    # sampled items span the corpus, not just the positives' items
+    assert len(np.unique(a["item_id"])) > 3
+    # hist columns ride along from the user side (same width)
+    assert a["hist"].shape[1] == train.arrays["hist"].shape[1]
