@@ -203,3 +203,22 @@ def test_cli_predict_dssm(workspace, tmp_path):
         same = u[uid == x]
         np.testing.assert_allclose(same, np.broadcast_to(same[0], same.shape),
                                    atol=1e-5)
+
+
+def test_cli_train_with_random_negatives(workspace, tmp_path):
+    """rank_cfg.random_neg_per_positive: the exposure-debias augmentation
+    runs through the train CLI and the model still trains/validates."""
+    import yaml
+
+    tmp, cfg_path, _ = workspace
+    with open(cfg_path) as f:
+        raw = yaml.safe_load(f)
+    raw["rank_cfg"] = {"random_neg_per_positive": 2}
+    cfg2 = str(tmp_path / "rneg.yaml")
+    with open(cfg2, "w") as f:
+        yaml.safe_dump(raw, f)
+    workdir = str(tmp_path / "exp")
+    cli_main(["train", "-c", cfg2, "--workdir", workdir, "--epochs", "1"])
+    assert os.path.exists(os.path.join(workdir, "val_log.log"))
+    log = open(os.path.join(workdir, "val_log.log")).read()
+    assert "Validation Results" in log
