@@ -182,7 +182,9 @@ def item_log_q(train_ds, vocab: int) -> "np.ndarray":
     (they never appear as negatives anyway)."""
     import numpy as np
     ids = np.asarray(train_ds.arrays["item_id"])
-    counts = np.bincount(ids, minlength=vocab).astype(np.float64)
+    # ids at/above vocab would lengthen bincount's output; clip the table
+    # back to (V,) so lookups stay in range (corrupt ids don't train anyway)
+    counts = np.bincount(ids, minlength=vocab).astype(np.float64)[:vocab]
     counts = np.maximum(counts, 1.0)
     q = counts / counts.sum()
     return np.log(q).astype(np.float32)

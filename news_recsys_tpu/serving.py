@@ -202,7 +202,6 @@ class CascadeRecommender:
         ids = self.item_arrays["item_id"].astype(np.int64)
         self._pos = np.zeros(int(ids.max()) + 2, np.int64)
         self._pos[ids] = np.arange(ids.size)
-        self._item_ds_for_save = item_ds
 
     # -- persistence ---------------------------------------------------------
 
